@@ -1,0 +1,174 @@
+"""Typed experiment configuration.
+
+Preserves the public CLI flag contract of the reference
+(``utils/global_functions.py:260-297`` in g8a9/multi-modal-emotion): every flag
+name, short option, default, and type below matches the reference's
+``arg_parse`` so sweep YAMLs and command lines written for the reference keep
+working. On top of that contract we add a typed dataclass tree (the reference
+passes raw ``wandb.config`` dicts around) plus TPU-specific knobs (mesh shape,
+precision policy) that have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from argparse import ArgumentParser
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+
+def hidden_layer_count(string: str) -> List[int]:
+    """Validate comma-separated hidden-layer dims (reference
+    ``utils/global_functions.py:190-197``): one dim or an even count."""
+    x = string.split(",")
+    if len(x) == 1 or len(x) % 2 == 0:
+        return list(map(int, x))
+    raise ValueError(
+        "Missing a dimension in hidden layers. Need an even number of "
+        f"dimensions (or exactly one): {string}"
+    )
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (TPU-specific; no reference equivalent).
+
+    The reference imported ``torch.distributed`` but never used it
+    (``models/tav.py:43``); here parallelism is first-class.
+    """
+
+    data: int = -1  # -1 → all available devices on the `dp` axis
+    model: int = 1  # tensor-parallel axis size
+    axis_names: Sequence[str] = ("dp", "mp")
+
+
+@dataclass(frozen=True)
+class PrecisionConfig:
+    """Mixed-precision policy: params fp32, compute bf16 (MXU-native)."""
+
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    softmax_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """One typed tree covering the reference's argparse/wandb/yaml stack."""
+
+    # --- reference flag contract (names/defaults from arg_parse) ---
+    learning_rate: float = 0.000001
+    epoch: int = 3
+    batch_size: int = 1
+    weight_decay: float = 0.0001
+    clip: float = 1.0
+    epoch_switch: int = 2
+    patience: float = 10.0
+    T_max: int = 2
+    mask: bool = False
+    loss: str = "NewCrossEntropy"
+    beta: float = 1.0
+    seed: int = 32
+    dataset: str = "../data/text_audio_video_emotion_data"
+    model: str = "MAE_encoder"
+    label_task: str = "emotion"
+    input_dim: int = 2
+    output_dim: int = 7
+    lstm_layers: int = 1
+    hidden_layers: str = "32,32"
+    early_div: bool = False
+    dropout: float = 0.5
+    num_layers: int = 12
+    learn_PosEmbeddings: bool = True
+
+    # --- loop policy (hardcoded in the reference; surfaced here) ---
+    log_val: int = 2400  # mid-epoch validation cadence (train_model/tav_train.py:137)
+    checkpoint_dir: str = "checkpoints"
+
+    # --- TPU-native additions ---
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    precision: PrecisionConfig = field(default_factory=PrecisionConfig)
+    text_max_len: int = 70          # tokenizer pad length (utils/data_loaders.py:33-35)
+    audio_max_samples: int = 160000  # static audio bucket cap (10 s @ 16 kHz)
+    video_frames: int = 16
+    video_size: int = 224
+
+    def replace(self, **kw: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+    def as_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+    @property
+    def hidden_layer_dims(self) -> List[int]:
+        return hidden_layer_count(self.hidden_layers)
+
+
+def arg_parse(description: str, argv: Optional[Sequence[str]] = None):
+    """Reference-compatible CLI parser (flags, shorts, defaults preserved)."""
+    parser = ArgumentParser(description=f" Run experiments on {description} ")
+    parser.add_argument("--learning_rate", "-l", default=0.000001, type=float,
+                        help="Set the learning rate")
+    parser.add_argument("--epoch", "-e", default=3, type=int,
+                        help="Set the number of epochs")
+    parser.add_argument("--batch_size", "-b", default=1, type=int,
+                        help="Set the batch_size")
+    parser.add_argument("--weight_decay", "-w", default=0.0001, type=float,
+                        help="Set the weight_decay")
+    parser.add_argument("--clip", "-c", default=1.0, type=float,
+                        help="Set the gradient clip")
+    parser.add_argument("--epoch_switch", "-es", default=2, type=int,
+                        help="Epoch parity for sampler/loss/accum switching")
+    parser.add_argument("--patience", "-p", default=10.0, type=float,
+                        help="Set the patience")
+    parser.add_argument("--T_max", "-t", default=2, type=int,
+                        help="Cosine warm-restart period")
+    parser.add_argument("--mask", "-ma", default=False, type=bool,
+                        help="True/False on if we want to use masking in model")
+    parser.add_argument("--loss", "-ls", default="NewCrossEntropy", type=str,
+                        help="Which loss function to use")
+    parser.add_argument("--beta", "-beta", default=1, type=float,
+                        help="For FBeta loss, what beta to pick")
+    parser.add_argument("--seed", "-s", default=32, type=int,
+                        help="Set the random seed")
+    parser.add_argument("--dataset", "-d",
+                        default="../data/text_audio_video_emotion_data",
+                        help="Dataset name or folder")
+    parser.add_argument("--model", "-m", default="MAE_encoder",
+                        help="The model we are using currently")
+    parser.add_argument("--label_task", "-lt", default="emotion",
+                        help="Classification label: emotion or sentiment")
+    parser.add_argument("--input_dim", "-z", default=2, type=int,
+                        help="Set the input dimension")
+    parser.add_argument("--output_dim", "-y", default=7, type=int,
+                        help="Set the output dimension")
+    parser.add_argument("--lstm_layers", "-ll", default=1, type=int,
+                        help="Number of LSTM layers")
+    parser.add_argument("--hidden_layers", "-o", default="32,32", type=str,
+                        help="Dims of each hidden layer")
+    parser.add_argument("--early_div", "-ed", default=False, type=bool,
+                        help="Divide by sqrt(d) before (True) or after QK^T")
+    parser.add_argument("--dropout", "-dr", default=0.5, type=float,
+                        help="Dropout rate")
+    parser.add_argument("--num_layers", "-nl", default=12, type=int,
+                        help="Number of fusion transformer layers")
+    parser.add_argument("--learn_PosEmbeddings", "-lpe", default=True, type=bool,
+                        help="Learn the modality/positional embeddings")
+    return parser.parse_args(argv)
+
+
+def config_from_args(args: Any, **overrides: Any) -> ExperimentConfig:
+    """Build a typed config from an argparse namespace (or any attr bag)."""
+    fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    kw.update(overrides)
+    return ExperimentConfig(**kw)
+
+
+def apply_sweep_overrides(cfg: ExperimentConfig,
+                          sweep: Dict[str, Any]) -> ExperimentConfig:
+    """Overlay a sweep-parameter dict (the wandb.config role in the
+    reference, ``tav_nn.py:121-122``) on a typed config."""
+    fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    kw = {k: v for k, v in sweep.items() if k in fields}
+    return cfg.replace(**kw)
