@@ -1,0 +1,85 @@
+"""Flagship benchmark: MELD-shaped TAV fusion TRAINING throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: utterances/sec/chip for the full TAV fusion train step (PreFormer +
+TAVForMAE four towers, forward+backward+AdamW) at MELD-like shapes (text 70
+tokens, audio 6 s @ 16 kHz, video 16×224×224).
+
+vs_baseline: the reference records NO throughput (BASELINE.md); its envelope
+(batch 1-2, per-batch Python A/V decode in 2 dataloader workers, V100,
+``hyper_parameter_config/tav.yaml:22``) bounds it at ~2 utterances/sec —
+used as the provisional denominator until the PyTorch cross-check lands.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BASELINE_UTT_PER_SEC = 2.0
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_mme")
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from mme_tpu.core.config import ExperimentConfig
+    from mme_tpu.models.fusion import TAVSpec
+    from mme_tpu.train.build_tav import build_tav, example_tav_batch
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    audio_len = int(os.environ.get("BENCH_AUDIO_LEN", "96000"))  # 6 s
+    text_len = 70
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    spec = TAVSpec(output_dim=7)
+    cfg = ExperimentConfig(batch_size=batch_size, learning_rate=5e-6,
+                           text_max_len=text_len,
+                           audio_max_samples=audio_len)
+    batch = example_tav_batch(spec, batch_size, text_len, audio_len)
+    _model, state, train_step, _ = build_tav(
+        spec, cfg, steps_per_epoch=1000, example_batch=batch, remat=True)
+
+    labels = jnp.zeros((batch_size,), jnp.int32)
+    mask = jnp.ones((batch_size,), jnp.int32)
+    cw = jnp.ones((7,), jnp.float32)
+    one = jnp.asarray(1.0, jnp.float32)
+    yes = jnp.asarray(True)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state, loss, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
+    loss.block_until_ready()
+    state, loss, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = train_step(state, batch, labels, mask, cw, one,
+                                    yes, rng)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = max(len(jax.devices()), 1)
+    utt_per_sec_per_chip = batch_size * steps / dt / n_chips
+    print(json.dumps({
+        "metric": "MELD utterances/sec/chip (TAV fusion train)",
+        "value": round(utt_per_sec_per_chip, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec_per_chip / BASELINE_UTT_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

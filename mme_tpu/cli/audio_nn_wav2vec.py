@@ -1,0 +1,55 @@
+"""Audio classifier entry point (reference ``SingleModels/audio_nn.py``; the
+README calls it ``audio_nn_wav2vec.py``): wav2vec2 on raw waveforms →
+mean-pool → classifier."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mme_tpu.core.config import arg_parse, config_from_args
+from mme_tpu.cli.common import run_classifier
+from mme_tpu.data.synthetic import synthetic_audio_dataset
+from mme_tpu.models.audio import Wav2Vec2Classifier, Wav2Vec2Spec
+
+
+def main(argv=None):
+    args = arg_parse("audio_nn_wav2vec", argv)
+    cfg = config_from_args(args)
+    np.random.seed(cfg.seed)
+
+    spec = Wav2Vec2Spec.base()
+    audio_len = cfg.audio_max_samples
+    if cfg.dataset == "synthetic":
+        spec = dataclasses.replace(
+            spec, conv_dims=(32, 32, 32), conv_kernels=(10, 3, 3),
+            conv_strides=(5, 2, 2),
+            encoder=dataclasses.replace(spec.encoder, hidden=64, heads=4,
+                                        layers=2, intermediate=128))
+        audio_len = 4000
+    model = Wav2Vec2Classifier(spec, output_dim=cfg.output_dim,
+                               dropout=cfg.dropout)
+
+    def apply_fn(variables, batch, deterministic=True, rngs=None,
+                 mutable=None):
+        return model.apply(variables, batch["waveform"], batch["audio_mask"],
+                           deterministic=deterministic, rngs=rngs)
+
+    n_train = 128 if cfg.dataset == "synthetic" else 9989
+    mk = lambda n, s: synthetic_audio_dataset(
+        n, audio_len=audio_len, num_classes=cfg.output_dim, seed=s)
+    train_ds, val_ds, test_ds = mk(n_train, 0), mk(32, 1), mk(32, 2)
+
+    example = {k: jnp.asarray(v[:1]) for k, v in train_ds.features.items()}
+    params = model.init(
+        jax.random.PRNGKey(cfg.seed), example["waveform"],
+        example["audio_mask"])["params"]
+    return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
+                          rng_names=("dropout", "spec_augment"))
+
+
+if __name__ == "__main__":
+    main()

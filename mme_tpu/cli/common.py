@@ -1,0 +1,101 @@
+"""Shared CLI wiring: the reference's per-entry ``main``/``runModel`` pattern
+(``tav_nn.py:20-192`` and the Single/Double variants) as one helper.
+
+Every entry point: parse the reference flag surface → seed → build datasets
+(synthetic here; real pickles via data/records.py when media deps exist) →
+class weights ``1−n_c/N`` → label maps → train with the full policy stack →
+evaluate → print the reference-keyed score dict.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mme_tpu.core.config import ExperimentConfig
+from mme_tpu.data.dataset import ArrayDataset
+from mme_tpu.evals.metrics import Metrics
+from mme_tpu.train.checkpoint import CheckpointManager
+from mme_tpu.train.loop import LoopCallbacks, evaluate, train_network
+from mme_tpu.train.losses import class_weights_from_counts
+from mme_tpu.train.policies import sample_weights_from_labels
+from mme_tpu.train.schedules import cosine_warm_restarts
+from mme_tpu.train.steps import (TrainState, make_eval_step, make_optimizer,
+                                 make_train_step)
+
+MELD_EMOTIONS = ["neutral", "joy", "sadness", "anger", "surprise",
+                 "fear", "disgust"]
+MELD_SENTIMENTS = ["neutral", "positive", "negative"]
+IEMOCAP_6 = ["neutral", "frustrated", "angry", "sad", "happy", "excited"]
+HATEFUL = ["not_hateful", "hateful"]
+
+
+def label_names(dataset: str, label_task: str, output_dim: int):
+    if "iemocap" in dataset.lower():
+        names = IEMOCAP_6
+    elif label_task == "sentiment":
+        names = MELD_SENTIMENTS
+    elif "hateful" in dataset.lower() or output_dim == 2:
+        names = HATEFUL
+    else:
+        names = MELD_EMOTIONS
+    names = names[:output_dim]
+    while len(names) < output_dim:
+        names.append(f"class_{len(names)}")
+    return {i: n for i, n in enumerate(names)}
+
+
+def print_log(d: Dict[str, float]) -> None:
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in d.items()}), flush=True)
+
+
+def run_classifier(cfg: ExperimentConfig,
+                   apply_fn: Callable,
+                   init_params,
+                   train_ds: ArrayDataset, val_ds: ArrayDataset,
+                   test_ds: ArrayDataset,
+                   batch_transform=None,
+                   batch_stats=None,
+                   trainable_mask=None,
+                   rng_names: Tuple[str, ...] = ("dropout",)
+                   ) -> Dict[str, float]:
+    """The generic runModel: wire optimizer/steps/metrics/loop and train."""
+    num_classes = cfg.output_dim
+    id2label = label_names(cfg.dataset, cfg.label_task, num_classes)
+    metric = Metrics(num_classes, id2label)
+
+    counts = np.bincount(train_ds.labels, minlength=num_classes)
+    cw = class_weights_from_counts(counts)
+    sw = sample_weights_from_labels(train_ds.labels, cw)
+
+    steps_per_epoch = int(np.ceil(len(train_ds) / cfg.batch_size))
+    tx = make_optimizer(
+        cosine_warm_restarts(cfg.learning_rate, cfg.T_max, steps_per_epoch),
+        cfg.weight_decay, cfg.clip, trainable_mask)
+    state = TrainState.create(init_params, tx, batch_stats=batch_stats)
+    train_step = make_train_step(
+        apply_fn, tx, num_classes=num_classes, rng_names=rng_names,
+        has_batch_stats=batch_stats is not None)
+    eval_step = make_eval_step(apply_fn, num_classes=num_classes,
+                               has_batch_stats=batch_stats is not None)
+
+    cb = LoopCallbacks(log=print_log)
+    kwargs = {}
+    if batch_transform is not None:
+        kwargs["batch_transform"] = batch_transform
+    ckpts = CheckpointManager(cfg.checkpoint_dir)
+    use_weighted = cfg.loss == "NewCrossEntropy"
+    state = train_network(train_step, eval_step, state, train_ds, val_ds,
+                          cfg, metric, cw, sw,
+                          jax.random.PRNGKey(cfg.seed), checkpoints=ckpts,
+                          callbacks=cb, use_weighted_loss=use_weighted,
+                          **kwargs)
+    summary = evaluate(eval_step, state, test_ds, cfg, metric,
+                       callbacks=cb, **kwargs)
+    print_log(summary)
+    return summary

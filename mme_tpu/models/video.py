@@ -1,0 +1,156 @@
+"""Video towers: VideoMAE encoder family + classifiers.
+
+Capability parity targets in the reference:
+- HF ``VideoMAEModel`` ('MCG-NJU/videomae-base-finetuned-kinetics') used as
+  the video tower in PreFormer/TAVForMAE (``models/tav.py:263,456,480``),
+  including ``bool_masked_pos`` visible-token gathering;
+- the copied maskable ``VideoMAEEncoder`` (``utils/TAVFormer.py:171-439``,
+  ``models/VIDMAE.py``) that serves as TAVForMAE's randomly-initialized
+  fusion trunk (``models/tav.py:441-442,487``) — here that trunk is just our
+  shared pre-LN ``TransformerEncoder`` with correct additive masking (the
+  reference adds the mask after softmax, a bug we do not replicate);
+- ``SingleModels/models/visual.py:176-219`` scratch Conv3D classifier.
+
+TPU-first: the tubelet Conv3D (kernel == stride, non-overlapping) is
+implemented as reshape + one MXU matmul instead of a 3-D convolution; video
+arrives channels-last ``[B, T, H, W, C]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mme_tpu.models.layers import EncoderSpec, TransformerEncoder
+from mme_tpu.ops.attention import additive_mask
+from mme_tpu.ops.video import gather_visible, sinusoid_position_table
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoMAESpec:
+    image_size: int = 224
+    patch_size: int = 16
+    num_frames: int = 16
+    tubelet_size: int = 2
+    channels: int = 3
+    encoder: EncoderSpec = dataclasses.field(default_factory=lambda: EncoderSpec(
+        hidden=768, heads=12, layers=12, intermediate=3072,
+        ln_style="pre", qkv_bias="qv", ln_eps=1e-12))
+
+    @property
+    def num_patches(self) -> int:
+        side = self.image_size // self.patch_size
+        return (self.num_frames // self.tubelet_size) * side * side  # 1568
+
+    @staticmethod
+    def base(**kw: Any) -> "VideoMAESpec":
+        return VideoMAESpec(**kw)
+
+
+class TubeletEmbed(nn.Module):
+    """Non-overlapping 3-D patch embedding as reshape + matmul.
+
+    Equivalent to HF's Conv3d(kernel=(t,p,p), stride=(t,p,p)); the importer
+    reshapes the conv weight into this kernel. Output token order is
+    (t', h', w') — identical to HF's ``flatten(2).transpose``."""
+
+    spec: VideoMAESpec
+
+    @nn.compact
+    def __call__(self, video: jax.Array) -> jax.Array:
+        s = self.spec
+        e = s.encoder
+        B, T, H, W, C = video.shape
+        t, p = s.tubelet_size, s.patch_size
+        x = video.reshape(B, T // t, t, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B,T',H',W', t,p,p,C]
+        x = x.reshape(B, (T // t) * (H // p) * (W // p), t * p * p * C)
+        return nn.Dense(e.hidden, dtype=e.dtype, param_dtype=e.param_dtype,
+                        name="proj")(x)
+
+
+class VideoMAEModel(nn.Module):
+    """VideoMAE encoder: tubelet embed + fixed sinusoid positions + pre-LN
+    stack. ``visible_mask`` (keep=True, exactly ``keep_k`` per row) selects
+    tokens before the encoder — the complement convention of HF's
+    ``bool_masked_pos`` (masked=True), matching how the reference feeds it
+    (``models/tav.py:368,480``)."""
+
+    spec: VideoMAESpec
+
+    def setup(self):
+        self.patch_embed = TubeletEmbed(self.spec)
+        self.encoder = TransformerEncoder(self.spec.encoder)
+
+    def embed(self, video: jax.Array,
+              visible_mask: Optional[jax.Array] = None,
+              keep_k: Optional[int] = None) -> jax.Array:
+        """Embedding stage only — the PreFormer video path
+        (``models/tav.py:368``)."""
+        s = self.spec
+        x = self.patch_embed(video)
+        pos = jnp.asarray(sinusoid_position_table(s.num_patches,
+                                                  s.encoder.hidden))
+        x = x + pos.astype(x.dtype)
+        if visible_mask is not None:
+            assert keep_k is not None, "static keep_k required with a mask"
+            x = gather_visible(x, visible_mask, keep_k)
+        return x
+
+    def __call__(self, video: jax.Array,
+                 visible_mask: Optional[jax.Array] = None,
+                 keep_k: Optional[int] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        x = self.embed(video, visible_mask, keep_k)
+        return self.encoder(x, None, deterministic=deterministic)
+
+
+class VideoMAEClassifier(nn.Module):
+    """Mean-pool classifier over VideoMAE features (the reference's video
+    tower usage, ``models/tav.py:480-481``)."""
+
+    spec: VideoMAESpec
+    output_dim: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, video: jax.Array,
+                 visible_mask: Optional[jax.Array] = None,
+                 keep_k: Optional[int] = None,
+                 *, deterministic: bool = True) -> jax.Array:
+        h = VideoMAEModel(self.spec, name="videomae")(
+            video, visible_mask, keep_k, deterministic=deterministic)
+        pooled = h.mean(axis=1)
+        pooled = nn.Dropout(rate=self.dropout)(pooled,
+                                               deterministic=deterministic)
+        return nn.Dense(self.output_dim, dtype=self.spec.encoder.dtype,
+                        param_dtype=self.spec.encoder.param_dtype,
+                        name="classifier")(pooled)
+
+
+class Conv3DClassifier(nn.Module):
+    """Scratch 3-D ConvNet video classifier (reference
+    ``SingleModels/models/visual.py:176-219`` capability)."""
+
+    output_dim: int
+    widths: Tuple[int, ...] = (32, 64, 128)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jax.Array, *, deterministic: bool = True
+                 ) -> jax.Array:
+        x = video  # [B, T, H, W, C]
+        for i, w in enumerate(self.widths):
+            x = nn.Conv(w, kernel_size=(3, 3, 3), strides=(1, 2, 2),
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, window_shape=(1, 2, 2), strides=(1, 2, 2))
+        x = x.mean(axis=(1, 2, 3))
+        x = nn.Dense(256, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(rate=0.5)(x, deterministic=deterministic)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)

@@ -1,0 +1,67 @@
+"""Attention ops: one dispatcher, two backends.
+
+- ``dot_product_attention``: the numerics contract (softmax(QK^T/sqrt(d) + bias)V
+  with fp32 softmax). On TPU, long-sequence calls route to the Pallas flash
+  kernel in ``mme_tpu.ops.flash_attention``; everything else (CPU tests, tiny
+  shapes) uses the XLA path below, which the flash kernel is tested against.
+
+Replaces the reference's three eager-PyTorch attention implementations
+(``utils/TAVFormer.py:10-90`` scratch MHA, ``utils/TAVFormer.py:312-391``
+VideoMAE copy, plus every HF-internal attention it calls). Deliberate
+deviation from the reference: the VideoMAE copy adds its additive mask AFTER
+the softmax (``utils/TAVFormer.py:372-375``) and PreFormer builds the audio
+mask with an operator-precedence bug (``models/tav.py:390``); both are bugs,
+not capabilities — here masks are always additive pre-softmax biases.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def additive_mask(bool_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, S] 1/0 (or bool) keep-mask → [B, 1, 1, S] additive bias."""
+    m = bool_mask.astype(dtype)
+    return ((1.0 - m) * NEG_INF)[:, None, None, :]
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   bias: Optional[jax.Array],
+                   softmax_dtype=jnp.float32) -> jax.Array:
+    """Plain XLA attention. q,k,v: [B, H, S, D]; bias broadcastable to
+    [B, H, Sq, Sk]."""
+    depth = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, softmax_dtype))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=softmax_dtype)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(softmax_dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          bias: Optional[jax.Array] = None,
+                          *,
+                          use_flash: Optional[bool] = None,
+                          softmax_dtype=jnp.float32) -> jax.Array:
+    """Multi-head attention core. q,k,v: [B, H, S, D].
+
+    ``use_flash=None`` → auto: Pallas flash kernel on TPU when the sequence
+    is long enough to pay for it and head_dim is lane-aligned.
+    """
+    if use_flash is None:
+        on_tpu = jax.default_backend() == "tpu"
+        seq = q.shape[-2]
+        use_flash = on_tpu and seq >= 512 and q.shape[-1] % 128 == 0
+    if use_flash:
+        from mme_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, bias)
+    return _xla_attention(q, k, v, bias, softmax_dtype)

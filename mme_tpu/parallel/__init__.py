@@ -1,0 +1,2 @@
+from mme_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
+                                   batch_sharding)

@@ -1,0 +1,102 @@
+"""Assembly of the flagship TAV training setup (model+optimizer+steps).
+
+Shared by the CLI (cli/tav_nn.py), the benchmark (bench.py), and the driver
+entry (__graft_entry__.py). Mirrors the reference wiring in
+``tav_nn.py:59-112`` + ``train_model/tav_train.py:147-160``: AdamW over
+trainable params, cosine warm restarts, PreFormer+TAVForMAE — but as one
+jitted step on sharded batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mme_tpu.core.config import ExperimentConfig
+from mme_tpu.models.fusion import TAVModel, TAVSpec
+from mme_tpu.ops.video import balanced_keep_mask
+from mme_tpu.train.schedules import cosine_warm_restarts
+from mme_tpu.train.steps import (TrainState, make_eval_step, make_optimizer,
+                                 make_train_step)
+
+
+def example_tav_batch(spec: TAVSpec, batch_size: int, text_len: int,
+                      audio_len: int, rng: Optional[jax.Array] = None
+                      ) -> Dict[str, jax.Array]:
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "input_ids": jax.random.randint(
+            k1, (batch_size, text_len), 0, spec.text.vocab_size, jnp.int32),
+        "text_mask": jnp.ones((batch_size, text_len), jnp.int32),
+        "waveform": jax.random.normal(k2, (batch_size, audio_len),
+                                      jnp.float32),
+        "audio_mask": jnp.ones((batch_size, audio_len), jnp.int32),
+        "video": jax.random.normal(
+            k3, (batch_size, spec.video.num_frames, spec.video.image_size,
+                 spec.video.image_size, 3), jnp.float32),
+        "video_keep": balanced_keep_mask(rng, batch_size,
+                                         spec.video.num_patches,
+                                         spec.video_keep_k),
+    }
+
+
+def make_video_keep_transform(spec: TAVSpec):
+    """Per-batch random balanced keep-mask — the reference samples its
+    visual mask in collate every batch (``models/tav.py:207-217``)."""
+
+    def transform(rng: jax.Array, batch: Dict[str, Any]) -> Dict[str, Any]:
+        b = dict(batch)
+        n = len(next(iter(batch.values())))
+        b["video_keep"] = balanced_keep_mask(rng, n, spec.video.num_patches,
+                                             spec.video_keep_k)
+        return b
+
+    return transform
+
+
+def build_tav(spec: TAVSpec, cfg: ExperimentConfig, steps_per_epoch: int,
+              example_batch: Optional[Dict[str, jax.Array]] = None,
+              remat: bool = True
+              ) -> Tuple[TAVModel, TrainState, Any, Any]:
+    """Returns (model, state, train_step, eval_step)."""
+    if remat:
+        spec = dataclasses.replace(
+            spec,
+            text=dataclasses.replace(
+                spec.text, encoder=dataclasses.replace(
+                    spec.text.encoder, remat=True)),
+            audio=dataclasses.replace(
+                spec.audio, encoder=dataclasses.replace(
+                    spec.audio.encoder, remat=True)),
+            video=dataclasses.replace(
+                spec.video, encoder=dataclasses.replace(
+                    spec.video.encoder, remat=True)),
+            fusion=dataclasses.replace(spec.fusion, remat=True))
+    model = TAVModel(spec)
+    if example_batch is None:
+        example_batch = example_tav_batch(spec, 1, cfg.text_max_len,
+                                          cfg.audio_max_samples)
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(cfg.seed), example_batch)
+    )()["params"]
+
+    tx = make_optimizer(
+        cosine_warm_restarts(cfg.learning_rate, cfg.T_max, steps_per_epoch),
+        cfg.weight_decay, cfg.clip)
+    state = TrainState.create(params, tx)
+
+    def apply_fn(variables, batch, deterministic=True, rngs=None,
+                 mutable=None):
+        return model.apply(variables, batch, deterministic=deterministic,
+                           rngs=rngs)
+
+    train_step = make_train_step(apply_fn, tx, num_classes=spec.output_dim,
+                                 rng_names=("dropout", "spec_augment"))
+    eval_step = make_eval_step(apply_fn, num_classes=spec.output_dim)
+    return model, state, train_step, eval_step

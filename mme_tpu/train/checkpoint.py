@@ -1,0 +1,52 @@
+"""Checkpoint manager: one mechanism replacing the reference's two.
+
+The reference has overlapping ``save_model``/``load_model``
+(``utils/global_functions.py:199-258``) and ``EarlyStopping.best_state``
+(``utils/early_stopping.py:70-93``), with a broken resume key
+(``train_model/tav_train.py:155``). Here: a single orbax-backed manager
+holding the full TrainState (params, optimizer state, accumulation buffers,
+step) plus loop metadata (epoch, step, best val loss), with best-checkpoint
+semantics and the reference's reload-best-each-epoch behavior available via
+``restore_best``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    @property
+    def best_path(self) -> str:
+        return os.path.join(self.directory, "best")
+
+    def save_best(self, state: Any, meta: Dict[str, Any]) -> None:
+        """Overwrite the best checkpoint (the reference saves whenever
+        mid-epoch validation improves, ``train_model/tav_train.py:75``)."""
+        path = self.best_path
+        self._ckpt.save(path, state, force=True)
+        with open(os.path.join(self.directory, "best_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def has_best(self) -> bool:
+        return os.path.exists(os.path.join(self.directory, "best_meta.json"))
+
+    def restore_best(self, target_state: Any
+                     ) -> Tuple[Any, Dict[str, Any]]:
+        """Restore the best TrainState (reference best-reload-each-epoch,
+        ``train_model/tav_train.py:143``)."""
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
+        state = self._ckpt.restore(self.best_path, abstract)
+        with open(os.path.join(self.directory, "best_meta.json")) as f:
+            meta = json.load(f)
+        return state, meta

@@ -1,0 +1,182 @@
+"""The generic training loop: every reference trainer, one implementation.
+
+Capability parity (reference ``train_model/tav_train.py:15-183`` and the
+per-package variants):
+- epoch-parity switching of sampler order, loss weighting, and dialog
+  accumulation (SURVEY.md §2.6 items 1-2);
+- mid-epoch validation every ``log_val`` steps + at epoch end, best-ckpt
+  save, patience bump, epoch break at patience (items 3);
+- best-checkpoint reload after every epoch (item 4);
+- final evaluation pass with criterion=None (``evaluate_tav``).
+
+The loop is host-side Python orchestrating ONE jitted train step and ONE
+jitted eval step (train/steps.py) — no retracing across policy phases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mme_tpu.core.config import ExperimentConfig
+from mme_tpu.data.dataset import ArrayDataset, batches
+from mme_tpu.evals.metrics import Metrics
+from mme_tpu.train.checkpoint import CheckpointManager
+from mme_tpu.train.losses import epoch_parity_weights
+from mme_tpu.train.policies import DialogAccumulator, dialog_counts, epoch_order
+from mme_tpu.train.steps import TrainState
+
+BatchTransform = Callable[[jax.Array, Dict[str, np.ndarray]],
+                          Dict[str, Any]]
+
+
+@dataclasses.dataclass
+class LoopCallbacks:
+    """Observability hooks (the reference logs to wandb; we emit dicts)."""
+
+    log: Callable[[Dict[str, Any]], None] = lambda d: None
+
+
+def _identity_transform(rng, batch):
+    return batch
+
+
+def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
+                   cfg: ExperimentConfig, metric: Metrics,
+                   class_weights: Optional[jax.Array],
+                   batch_transform: BatchTransform,
+                   rng: jax.Array, name: str,
+                   callbacks: LoopCallbacks) -> float:
+    metric.reset_metrics()
+    total_loss, steps = 0.0, 0
+    order = np.arange(len(ds))
+    for batch, labels, mask, _ in batches(ds, order, cfg.batch_size):
+        rng, sub = jax.random.split(rng)
+        batch = batch_transform(sub, batch)
+        loss, cm = eval_step(state.params, state.batch_stats, batch,
+                             jnp.asarray(labels), jnp.asarray(mask),
+                             class_weights)
+        total_loss += float(loss)
+        metric.merge(cm)
+        steps += 1
+    avg = total_loss / max(steps, 1)
+    d = metric.summary(name)
+    d[f"{name}/loss"] = avg
+    callbacks.log(d)
+    metric.reset_metrics()
+    return avg, d
+
+
+def train_network(train_step, eval_step, state: TrainState,
+                  train_ds: ArrayDataset, val_ds: ArrayDataset,
+                  cfg: ExperimentConfig, metric: Metrics,
+                  class_weights: np.ndarray,
+                  sample_weights: np.ndarray,
+                  rng: jax.Array,
+                  batch_transform: BatchTransform = _identity_transform,
+                  checkpoints: Optional[CheckpointManager] = None,
+                  callbacks: LoopCallbacks = LoopCallbacks(),
+                  use_weighted_loss: bool = True) -> TrainState:
+    """Train with the full reference policy stack; returns the best state."""
+    cw = jnp.asarray(class_weights, jnp.float32)
+    host_rng = np.random.default_rng(cfg.seed)
+    prev_val_loss = float("inf")
+    patience_iter = 0
+
+    accum = None
+    if train_ds.dialog_ids is not None:
+        accum = DialogAccumulator(dialog_counts(train_ds.dialog_ids))
+
+    if checkpoints is None:
+        checkpoints = CheckpointManager(cfg.checkpoint_dir)
+
+    for epoch in range(cfg.epoch):
+        order = epoch_order(host_rng, epoch, cfg.epoch_switch,
+                            sample_weights, len(train_ds))
+        use_dialog_accum = (accum is not None
+                            and epoch % cfg.epoch_switch != 0)
+        if use_weighted_loss:
+            step_weights = epoch_parity_weights(cw, jnp.asarray(epoch),
+                                                cfg.epoch_switch)
+        else:
+            step_weights = jnp.ones_like(cw)
+
+        total_loss, steps_done = 0.0, 0
+        iters = int(np.ceil(len(order) / cfg.batch_size))
+        epoch_broken = False
+        t0 = time.time()
+        for bi, (batch, labels, mask, idx) in enumerate(
+                batches(train_ds, order, cfg.batch_size)):
+            if use_dialog_accum:
+                # advance the accumulator over this batch's samples
+                loss_scale, apply_update = None, False
+                for j in range(len(idx)):
+                    size, boundary = accum.step(bi * cfg.batch_size + j)
+                    if loss_scale is None:
+                        loss_scale = 1.0 / size
+                    apply_update = apply_update or boundary
+                apply_update = apply_update or (bi + 1 == iters)
+            else:
+                loss_scale, apply_update = 1.0, True
+
+            rng, sub = jax.random.split(rng)
+            tbatch = batch_transform(sub, batch)
+            state, loss, cm = train_step(
+                state, tbatch, jnp.asarray(labels), jnp.asarray(mask),
+                step_weights, jnp.asarray(loss_scale, jnp.float32),
+                jnp.asarray(apply_update), rng)
+            total_loss += float(loss)
+            metric.merge(cm)
+            steps_done += 1
+
+            if ((bi + 1) % cfg.log_val == 0) or (bi + 1 == iters):
+                d = metric.summary("train")
+                d["train/loss"] = total_loss / max(steps_done, 1)
+                d["train/steps_per_sec"] = steps_done / max(
+                    time.time() - t0, 1e-9)
+                d["epoch"] = epoch
+                callbacks.log(d)
+                metric.reset_metrics()
+                rng, sub = jax.random.split(rng)
+                val_loss, _ = run_validation(
+                    eval_step, state, val_ds, cfg, metric, step_weights,
+                    batch_transform, sub, "val", callbacks)
+                if val_loss < prev_val_loss:
+                    patience_iter = 0
+                    prev_val_loss = val_loss
+                    checkpoints.save_best(
+                        state, {"epoch": epoch, "step": int(state.step),
+                                "val_loss": val_loss})
+                else:
+                    patience_iter += 1
+                    if patience_iter >= cfg.patience:
+                        epoch_broken = True
+                        break
+
+        # best-checkpoint reload each epoch (train_model/tav_train.py:143)
+        if checkpoints.has_best():
+            state, _meta = checkpoints.restore_best(state)
+        if epoch_broken or patience_iter >= cfg.patience:
+            break
+        if accum is not None:
+            accum = DialogAccumulator(accum.counts)  # reset ctr per epoch
+
+    return state
+
+
+def evaluate(eval_step, state: TrainState, test_ds: ArrayDataset,
+             cfg: ExperimentConfig, metric: Metrics,
+             batch_transform: BatchTransform = _identity_transform,
+             rng: Optional[jax.Array] = None,
+             callbacks: LoopCallbacks = LoopCallbacks()) -> Dict[str, float]:
+    """Test pass with criterion=None semantics (``evaluate_tav``)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    _, summary = run_validation(eval_step, state, test_ds, cfg, metric, None,
+                                batch_transform, rng, "test", callbacks)
+    return summary

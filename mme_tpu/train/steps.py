@@ -1,0 +1,155 @@
+"""The generic jitted train/eval step.
+
+One compiled program implements every loop variant in the reference
+(``train_model/tav_train.py:52-120`` not_grad_accum/grad_accum and the
+single/double-model trainers): the epoch-parity loss switch arrives as a
+weight vector, dialog-aligned accumulation as a per-step ``apply_update``
+flag + ``loss_scale``, so no retracing across policy phases.
+
+TPU design: gradients accumulate in a buffer inside the train state
+(replacing the reference's redundant per-batch optimizer stepping,
+``train_model/tav_train.py:96-105``); ``optax.clip_by_global_norm`` + AdamW
+(torch-parity hyperparameters) run under ``lax.cond`` on the boundary flag.
+The confusion-matrix update happens inside the step, so metrics ride the
+same XLA program (and a single psum in the sharded case).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mme_tpu.evals.metrics import confusion_matrix
+from mme_tpu.train.losses import cross_entropy
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    accum_grads: Any
+    accum_count: jax.Array
+    batch_stats: Any = None
+
+    @classmethod
+    def create(cls, params: Any, tx: optax.GradientTransformation,
+               batch_stats: Any = None) -> "TrainState":
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), accum_grads=zeros,
+                   accum_count=jnp.zeros((), jnp.int32),
+                   batch_stats=batch_stats)
+
+
+def make_optimizer(lr_schedule: Callable, weight_decay: float,
+                   clip: float,
+                   trainable_mask: Any = None) -> optax.GradientTransformation:
+    """clip-by-global-norm → AdamW (torch defaults: b1=.9 b2=.999 eps=1e-8).
+
+    ``trainable_mask``: pytree of bools marking trainable leaves — the
+    reference's ``requires_grad`` filtering (frozen backbones,
+    ``SingleModels/models/image.py:36-37``) expressed as optax masking."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+    )
+    if trainable_mask is not None:
+        tx = optax.chain(optax.masked(tx, trainable_mask))
+    return tx
+
+
+def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                    num_classes: int,
+                    rng_names: Tuple[str, ...] = ("dropout",),
+                    has_batch_stats: bool = False,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    ``apply_fn(variables, batch, deterministic, rngs) -> logits`` (or
+    ``(logits, new_batch_stats)`` mutable when has_batch_stats).
+    The returned step:
+
+        state, loss, cm = step(state, batch, labels, sample_mask,
+                               class_weights, loss_scale, apply_update, rng)
+    """
+
+    def step(state: TrainState, batch: Dict[str, jax.Array],
+             labels: jax.Array, sample_mask: jax.Array,
+             class_weights: jax.Array, loss_scale: jax.Array,
+             apply_update: jax.Array, rng: jax.Array):
+        rngs = {name: jax.random.fold_in(jax.random.fold_in(rng, i),
+                                         state.step)
+                for i, name in enumerate(rng_names)}
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, mutated = apply_fn(variables, batch,
+                                           deterministic=False, rngs=rngs,
+                                           mutable=["batch_stats"])
+            else:
+                logits = apply_fn(variables, batch, deterministic=False,
+                                  rngs=rngs)
+                mutated = None
+            loss = cross_entropy(logits, labels, class_weights, sample_mask)
+            return loss * loss_scale, (logits, mutated)
+
+        (scaled_loss, (logits, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        accum = jax.tree.map(jnp.add, state.accum_grads, grads)
+        count = state.accum_count + 1
+
+        def do_update(_):
+            mean_grads = jax.tree.map(lambda g: g / count.astype(g.dtype),
+                                      accum)
+            updates, new_opt = tx.update(mean_grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            zeros = jax.tree.map(jnp.zeros_like, accum)
+            return new_params, new_opt, zeros, jnp.zeros((), jnp.int32)
+
+        def no_update(_):
+            return state.params, state.opt_state, accum, count
+
+        new_params, new_opt, new_accum, new_count = jax.lax.cond(
+            apply_update, do_update, no_update, None)
+
+        preds = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(preds, labels, num_classes, sample_mask)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            accum_grads=new_accum, accum_count=new_count,
+            batch_stats=(mutated["batch_stats"] if mutated is not None
+                         else state.batch_stats))
+        return new_state, scaled_loss, cm
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(apply_fn: Callable, num_classes: int,
+                   has_batch_stats: bool = False):
+    """Eval: loss (optional weights) + confusion matrix, deterministic."""
+
+    def step(params: Any, batch_stats: Any, batch: Dict[str, jax.Array],
+             labels: jax.Array, sample_mask: jax.Array,
+             class_weights: Optional[jax.Array]):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = apply_fn(variables, batch, deterministic=True, rngs=None)
+        loss = cross_entropy(logits, labels, class_weights, sample_mask)
+        preds = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(preds, labels, num_classes, sample_mask)
+        return loss, cm
+
+    return jax.jit(step)
