@@ -1,0 +1,256 @@
+"""Record building from the reference's pickled-DataFrame contract.
+
+The reference consumes pandas pickles with columns ``text``, ``audio_path``,
+``video_path``, ``emotion``/``sentiment`` (+ ``*_label`` strings), ``split``,
+``dialog``, ``timings``, ``speaker``, ``audio_shape`` (SURVEY.md §L0;
+``run_scripts/pre_process_for_audio.py:33-41``). This module turns such a
+frame into packed ``ArrayDataset``s:
+
+- text: HF tokenizer when the checkpoint is available locally, else a
+  deterministic hash tokenizer (same truncation/max_length padding contract,
+  ``utils/data_loaders.py:33-35``);
+- audio: native WAV decode + sinc resample to 16 kHz, padded to a static
+  bucket with keep-masks (replacing per-batch ``pad_sequence``,
+  ``models/tav.py:228``);
+- video: Katna keyframe JPEG directories via PIL (the reference's
+  ``getKatna`` path, ``models/tav.py:123-160``), zero-padded to 16 frames,
+  ImageNet-normalized; raw .mp4 decode requires an external decoder and is
+  gated.
+
+Splits: the ``split`` column when present (``tav_nn.py:146-163``), else a
+seeded stratified split (``SingleModels/audio_nn.py:109-121``). Filters:
+``audio_shape > min_audio_shape`` and label drops (fear/disgust;
+IEMOCAP 4/6-class) as in the reference entry points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mme_tpu.data.dataset import ArrayDataset
+from mme_tpu.data.wavio import load_waveform, load_waveforms_parallel
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class HashTokenizer:
+    """Deterministic offline tokenizer with the HF call contract
+    (padding='max_length', truncation). Ids 0=pad, 1=bos, 2=eos, 3=unk;
+    words hash into [4, vocab)."""
+
+    def __init__(self, vocab_size: int = 50265):
+        self.vocab_size = vocab_size
+        self.pad_token_id = 0
+
+    def __call__(self, text: str, max_length: int = 70):
+        words = text.lower().split()
+        ids = [1]
+        for w in words[: max_length - 2]:
+            h = int(hashlib.md5(w.encode()).hexdigest(), 16)
+            ids.append(4 + h % (self.vocab_size - 4))
+        ids.append(2)
+        mask = [1] * len(ids)
+        while len(ids) < max_length:
+            ids.append(self.pad_token_id)
+            mask.append(0)
+        return ids, mask
+
+
+def get_tokenizer(name: str = "j-hartmann/emotion-english-distilroberta-base",
+                  vocab_size: int = 50265):
+    """HF tokenizer if resolvable offline, else the hash fallback."""
+    try:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
+
+        def encode(text: str, max_length: int = 70):
+            out = tok(text, padding="max_length", max_length=max_length,
+                      truncation=True)
+            return out["input_ids"], out["attention_mask"]
+
+        return encode
+    except Exception:
+        h = HashTokenizer(vocab_size)
+        return lambda text, max_length=70: h(text, max_length)
+
+
+def tokenize_texts(texts: Sequence[str], max_length: int = 70,
+                   tokenizer=None) -> Tuple[np.ndarray, np.ndarray]:
+    tokenizer = tokenizer or get_tokenizer()
+    ids, masks = [], []
+    for t in texts:
+        i, m = tokenizer(str(t), max_length)
+        ids.append(i)
+        masks.append(m)
+    return np.asarray(ids, np.int32), np.asarray(masks, np.int32)
+
+
+def load_audio_bucket(paths: Sequence[str], max_samples: int,
+                      target_sr: int = 16000, workers: int = 8
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """[N, max_samples] padded waveforms + keep-masks."""
+    waves = load_waveforms_parallel(paths, target_sr, max_samples, workers)
+    n = len(waves)
+    out = np.zeros((n, max_samples), np.float32)
+    mask = np.zeros((n, max_samples), np.int32)
+    for i, w in enumerate(waves):
+        L = min(len(w), max_samples)
+        out[i, :L] = w[:L]
+        mask[i, :L] = 1
+    return out, mask
+
+
+def load_keyframes(dir_glob: str, num_frames: int = 16, size: int = 224,
+                   crop_box: Optional[Tuple[int, int, int, int]] = None
+                   ) -> np.ndarray:
+    """Katna keyframe dir → [num_frames, size, size, 3] normalized floats,
+    zero-padded like the reference (``models/tav.py:154-160``). ``crop_box``
+    = (top, left, height, width) replicates the IEMOCAP speaker crop
+    (``utils/global_functions.py:101-112``)."""
+    import glob as globlib
+
+    from PIL import Image
+
+    frames = []
+    for path in sorted(globlib.glob(dir_glob))[:num_frames]:
+        img = Image.open(path).convert("RGB")
+        arr = np.asarray(img, np.float32) / 255.0
+        if crop_box is not None:
+            t, l, h, w = crop_box
+            arr = arr[t:t + h, l:l + w]
+        img = Image.fromarray((arr * 255).astype(np.uint8)).resize(
+            (size, size))
+        arr = np.asarray(img, np.float32) / 255.0
+        frames.append((arr - IMAGENET_MEAN) / IMAGENET_STD)
+    out = np.zeros((num_frames, size, size, 3), np.float32)
+    if frames:
+        out[:len(frames)] = np.stack(frames)
+    return out
+
+
+@dataclasses.dataclass
+class PickleDatasetConfig:
+    label_col: str = "emotion"
+    text_col: str = "text"
+    audio_col: str = "audio_path"
+    video_col: str = "video_path"
+    split_col: str = "split"
+    dialog_col: str = "dialog"
+    text_max_len: int = 70
+    audio_max_samples: int = 160000
+    min_audio_shape: Optional[int] = None     # reference: 10000
+    drop_labels: Sequence[str] = ()           # e.g. ("fear", "disgust")
+    seed: int = 32
+
+
+def split_dataframe(df, cfg: PickleDatasetConfig):
+    """split column when present (tav_nn.py:155-163), else stratified
+    75/12.5/12.5 (SingleModels/audio_nn.py:109-121)."""
+    if cfg.split_col in df.columns:
+        return (df[df[cfg.split_col] == "train"],
+                df[df[cfg.split_col] == "val"],
+                df[df[cfg.split_col] == "test"])
+    rng = np.random.RandomState(cfg.seed)
+    idx = np.arange(len(df))
+    labels = df[cfg.label_col].values
+    train_idx, rest_idx = [], []
+    for c in np.unique(labels):
+        ci = idx[labels == c]
+        rng.shuffle(ci)
+        k = int(len(ci) * 0.75)
+        train_idx.extend(ci[:k])
+        rest_idx.extend(ci[k:])
+    rest_idx = np.asarray(rest_idx)
+    rng.shuffle(rest_idx)
+    half = len(rest_idx) // 2
+    return (df.iloc[np.sort(train_idx)], df.iloc[np.sort(rest_idx[:half])],
+            df.iloc[np.sort(rest_idx[half:])])
+
+
+def apply_filters(df, cfg: PickleDatasetConfig,
+                  label_names: Optional[Dict[int, str]] = None):
+    """audio_shape and label-drop filters (tav_nn.py:160,
+    SingleModels/audio_nn.py:115-116)."""
+    if cfg.min_audio_shape is not None and "audio_shape" in df.columns:
+        df = df[df["audio_shape"] > cfg.min_audio_shape]
+    if cfg.drop_labels:
+        col = (f"{cfg.label_col}_label"
+               if f"{cfg.label_col}_label" in df.columns else None)
+        if col is not None:
+            df = df[~df[col].isin(cfg.drop_labels)]
+    return df
+
+
+def labels_to_ids(values) -> Tuple[np.ndarray, Dict[int, str]]:
+    """Int labels pass through; strings factorize in sorted order
+    (tav_nn.py:172-173 label2id construction)."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.integer):
+        uniq = np.unique(arr)
+        return arr.astype(np.int64), {int(u): str(u) for u in uniq}
+    names = sorted(set(map(str, arr)))
+    name2id = {n: i for i, n in enumerate(names)}
+    return (np.asarray([name2id[str(v)] for v in arr], np.int64),
+            {i: n for n, i in name2id.items()})
+
+
+def build_text_dataset(df, cfg: PickleDatasetConfig,
+                       tokenizer=None) -> ArrayDataset:
+    ids, mask = tokenize_texts(df[cfg.text_col].tolist(), cfg.text_max_len,
+                               tokenizer)
+    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    dialogs = (df[cfg.dialog_col].values
+               if cfg.dialog_col in df.columns else None)
+    return ArrayDataset({"input_ids": ids, "text_mask": mask}, labels,
+                        dialog_ids=dialogs)
+
+
+def build_audio_dataset(df, cfg: PickleDatasetConfig) -> ArrayDataset:
+    wave, mask = load_audio_bucket(df[cfg.audio_col].tolist(),
+                                   cfg.audio_max_samples)
+    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    return ArrayDataset({"waveform": wave, "audio_mask": mask}, labels)
+
+
+def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
+                      video_size: int = 224, tokenizer=None,
+                      keyframe_glob: Optional[str] = None) -> ArrayDataset:
+    """Triple-modal records. Video comes from keyframe dirs
+    (``keyframe_glob``.format(row) → jpg glob); raw mp4 needs an external
+    decoder and raises with guidance."""
+    ids, tmask = tokenize_texts(df[cfg.text_col].tolist(), cfg.text_max_len,
+                                tokenizer)
+    wave, amask = load_audio_bucket(df[cfg.audio_col].tolist(),
+                                    cfg.audio_max_samples)
+    n = len(df)
+    video = np.zeros((n, video_frames, video_size, video_size, 3),
+                     np.float32)
+    if keyframe_glob is not None:
+        for i, (_, row) in enumerate(df.iterrows()):
+            speaker = row.get("speaker", None)
+            crop = None
+            if speaker is True:
+                crop = (120, 2, 245, 355)    # IEMOCAP left speaker
+            elif speaker is False:
+                crop = (120, 362, 245, 355)  # IEMOCAP right speaker
+            video[i] = load_keyframes(keyframe_glob.format(**row),
+                                      video_frames, video_size, crop)
+    else:
+        vids = df[cfg.video_col].tolist() if cfg.video_col in df.columns else []
+        if vids and str(vids[0]).endswith(".mp4"):
+            raise NotImplementedError(
+                "raw .mp4 decode is not available in this environment; "
+                "pre-extract Katna keyframes (reference run_scripts/"
+                "Katna_Proc.py) and pass keyframe_glob")
+    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    dialogs = (df[cfg.dialog_col].values
+               if cfg.dialog_col in df.columns else None)
+    return ArrayDataset(
+        {"input_ids": ids, "text_mask": tmask, "waveform": wave,
+         "audio_mask": amask, "video": video}, labels, dialog_ids=dialogs)

@@ -280,3 +280,82 @@ class TAVFormer(nn.Module):
         x = self.encoder(x, additive_mask(keep), deterministic=deterministic)
         x = self.norm(masked_mean_pool(x, keep))
         return self.classifier(x)
+
+
+class TAVForMAETwoTower(nn.Module):
+    """Older 2-tower TAVForMAE (reference ``models/multi+late.py:375-423``):
+    fused A+V sequence + modality embedding through a randomly-initialized
+    VideoMAE-style encoder → mean → LN, concatenated with the BERT pooled
+    output → dropout → Linear(1536, C)."""
+
+    spec: TAVSpec
+
+    def setup(self):
+        s = self.spec
+        self.preformer = PreFormer(s)
+        self.modality_embedding = nn.Embed(3, s.hidden, dtype=s.fusion.dtype)
+        self.text_encoder = TextEncoder(s.text)
+        self.fusion_encoder = TransformerEncoder(s.fusion)
+        self.fc_norm = nn.LayerNorm(dtype=s.fusion.dtype)
+        self.dropout = nn.Dropout(rate=s.dropout)
+        self.classifier = nn.Dense(s.output_dim, dtype=s.fusion.dtype)
+
+    def __call__(self, batch: Dict[str, jax.Array],
+                 *, deterministic: bool = True) -> jax.Array:
+        fused, type_ids, keep = self.preformer(
+            batch["input_ids"], batch["text_mask"], batch["waveform"],
+            batch["audio_mask"], batch["video"], batch["video_keep"],
+            deterministic=deterministic)
+        av = fused + self.modality_embedding(type_ids)
+        av = self.fusion_encoder(av, additive_mask(keep),
+                                 deterministic=deterministic)
+        av = self.fc_norm(masked_mean_pool(av, keep))
+        _, t = self.text_encoder(batch["input_ids"], batch["text_mask"],
+                                 deterministic=deterministic)
+        x = jnp.concatenate([t, av], axis=1)
+        x = self.dropout(x, deterministic=deterministic)
+        return self.classifier(x)
+
+
+class TAVForW2V2(nn.Module):
+    """wav2vec2-base-architecture fusion trunk, randomly initialized
+    (reference ``models/multi+late.py:430-476``): fused sequence + modality
+    embedding through post-LN wav2vec2-style encoder layers (no conv
+    positional embedding — the reference calls ``encoder.layers`` directly)
+    → mean → LN → dropout → Linear(hidden, C). Per-layer checkpointing for
+    batch≥8 becomes EncoderSpec.remat."""
+
+    spec: TAVSpec
+
+    def setup(self):
+        s = self.spec
+        trunk = dataclasses.replace(s.fusion, ln_style="post",
+                                    qkv_bias="full")
+        self.preformer = PreFormer(s)
+        self.modality_embedding = nn.Embed(3, s.hidden, dtype=trunk.dtype)
+        self.encoder = TransformerEncoder(trunk)
+        self.fc_norm = nn.LayerNorm(dtype=trunk.dtype)
+        self.dropout = nn.Dropout(rate=s.dropout)
+        self.classifier = nn.Dense(s.output_dim, dtype=trunk.dtype)
+
+    def __call__(self, batch: Dict[str, jax.Array],
+                 *, deterministic: bool = True) -> jax.Array:
+        fused, type_ids, keep = self.preformer(
+            batch["input_ids"], batch["text_mask"], batch["waveform"],
+            batch["audio_mask"], batch["video"], batch["video_keep"],
+            deterministic=deterministic)
+        x = fused + self.modality_embedding(type_ids)
+        x = self.encoder(x, additive_mask(keep),
+                         deterministic=deterministic)
+        x = self.fc_norm(masked_mean_pool(x, keep))
+        x = self.dropout(x, deterministic=deterministic)
+        return self.classifier(x)
+
+
+FUSION_MODELS = {
+    "MAE_encoder": TAVModel,        # reference default (tav_nn.py -m)
+    "TAVForMAE": TAVModel,
+    "TAVFormer": TAVFormer,
+    "TAVForMAE2Tower": TAVForMAETwoTower,
+    "TAVForW2V2": TAVForW2V2,
+}

@@ -123,7 +123,9 @@ class ConvNetClassifier(nn.Module):
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc")(x)
-        return jax.nn.sigmoid(x).reshape(-1)
+        x = jax.nn.sigmoid(x)
+        # the reference's binary head flattens to [B] (image.py:100)
+        return x.reshape(-1) if self.output_dim == 1 else x
 
 
 class ResNetFeatureExtractor(nn.Module):

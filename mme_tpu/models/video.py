@@ -154,3 +154,80 @@ class Conv3DClassifier(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(rate=0.5)(x, deterministic=deterministic)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)
+
+
+class Bottleneck3D(nn.Module):
+    """3-D bottleneck block (slow-pathway style): temporal extent on the
+    first 1×1 conv, spatial stride on the 3×3."""
+
+    features: int
+    temporal_kernel: int = 1
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        norm = lambda name: nn.BatchNorm(use_running_average=not train,
+                                         momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, name=name)
+        tk = self.temporal_kernel
+        residual = x
+        y = nn.Conv(self.features, (tk, 1, 1),
+                    padding=[(tk // 2, tk // 2), (0, 0), (0, 0)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.features, (1, 3, 3),
+                    strides=(1, self.strides, self.strides),
+                    padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(self.features * 4, (1, 1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(self.features * 4, (1, 1, 1),
+                               strides=(1, self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype,
+                               name="down_conv")(x)
+            residual = norm("down_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class SlowR50(nn.Module):
+    """Slow-pathway 3-D ResNet-50 (the capability of torch.hub ``slow_r50``
+    used at ``SingleModels/models/visual.py:133-174``): 1×7×7 stem, four
+    bottleneck stages with temporal kernels (1,1,3,3), global avg-pool →
+    projection head → classifier (the reference replaces the head with a
+    proj→768 Linear)."""
+
+    output_dim: int
+    proj_dim: int = 768
+    stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+    temporal_kernels: Tuple[int, ...] = (1, 1, 3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jax.Array, *, train: bool = False) -> jax.Array:
+        # video: [B, T, H, W, C]
+        y = nn.Conv(64, (1, 7, 7), strides=(1, 2, 2),
+                    padding=[(0, 0), (3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(video)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="stem_bn")(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (1, 3, 3), strides=(1, 2, 2),
+                        padding=[(0, 0), (1, 1), (1, 1)])
+        widths = (64, 128, 256, 512)
+        for stage, (blocks, w, tk) in enumerate(
+                zip(self.stage_sizes, widths, self.temporal_kernels)):
+            for b in range(blocks):
+                strides = 2 if (stage > 0 and b == 0) else 1
+                y = Bottleneck3D(w, temporal_kernel=tk, strides=strides,
+                                 downsample=(b == 0), dtype=self.dtype,
+                                 name=f"layer{stage + 1}_{b}")(y, train=train)
+        pooled = y.mean(axis=(1, 2, 3))
+        proj = nn.Dense(self.proj_dim, dtype=self.dtype, name="proj")(pooled)
+        proj = nn.relu(proj)
+        return nn.Dense(self.output_dim, dtype=self.dtype,
+                        name="classifier")(proj)
