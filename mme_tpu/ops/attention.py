@@ -16,6 +16,7 @@ not capabilities — here masks are always additive pre-softmax biases.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -60,7 +61,13 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
         seq = q.shape[-2]
-        use_flash = on_tpu and seq >= 512 and q.shape[-1] % 128 == 0
+        bias_ok = bias is None or (bias.ndim == 4 and bias.shape[1] == 1
+                                   and bias.shape[2] == 1)
+        # measured on v5e (tests + /tmp/flash_bench.py): flash wins ≥1.3×
+        # fwd and ≥1.6× bwd from ~1k tokens; XLA wins below ~512
+        use_flash = (on_tpu and seq >= 1024 and q.shape[-1] in (64, 128)
+                     and bias_ok
+                     and os.environ.get("MME_FLASH", "1") != "0")
     if use_flash:
         from mme_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, bias)
