@@ -23,7 +23,8 @@ def main(argv=None):
 
     spec = Wav2Vec2Spec.base()
     audio_len = cfg.audio_max_samples
-    if cfg.dataset == "synthetic":
+    import os as _os
+    if cfg.dataset == "synthetic" or _os.environ.get("MME_TINY"):
         spec = dataclasses.replace(
             spec, conv_dims=(32, 32, 32), conv_kernels=(10, 3, 3),
             conv_strides=(5, 2, 2),
@@ -38,10 +39,27 @@ def main(argv=None):
         return model.apply(variables, batch["waveform"], batch["audio_mask"],
                            deterministic=deterministic, rngs=rngs)
 
-    n_train = 128 if cfg.dataset == "synthetic" else 9989
-    mk = lambda n, s: synthetic_audio_dataset(
-        n, audio_len=audio_len, num_classes=cfg.output_dim, seed=s)
-    train_ds, val_ds, test_ds = mk(n_train, 0), mk(32, 1), mk(32, 2)
+    import os
+    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
+    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+        # reference pickle path: wav paths decoded by the native loader,
+        # audio_shape filter as in SingleModels/audio_nn.py:115
+        import pandas as pd
+        from mme_tpu.data.records import (PickleDatasetConfig, apply_filters,
+                                          build_audio_dataset,
+                                          split_dataframe)
+        df = pd.read_pickle(pkl)
+        rcfg = PickleDatasetConfig(label_col=cfg.label_task,
+                                   audio_max_samples=audio_len,
+                                   min_audio_shape=10000, seed=cfg.seed)
+        df = apply_filters(df, rcfg)
+        tr, va, te = split_dataframe(df, rcfg)
+        train_ds, val_ds, test_ds = (build_audio_dataset(x, rcfg)
+                                     for x in (tr, va, te))
+    else:
+        mk = lambda n, s: synthetic_audio_dataset(
+            n, audio_len=audio_len, num_classes=cfg.output_dim, seed=s)
+        train_ds, val_ds, test_ds = mk(128, 0), mk(32, 1), mk(32, 2)
 
     example = {k: jnp.asarray(v[:1]) for k, v in train_ds.features.items()}
     params = model.init(

@@ -30,7 +30,8 @@ def main(argv=None):
                    learn_pos_embeddings=cfg.learn_PosEmbeddings)
     audio_len = cfg.audio_max_samples
     text_len = cfg.text_max_len
-    if cfg.dataset == "synthetic":
+    import os as _os
+    if cfg.dataset == "synthetic" or _os.environ.get("MME_TINY"):
         spec = spec.tiny()
         audio_len, text_len = 2000, 16
 
@@ -41,11 +42,35 @@ def main(argv=None):
         return model.apply(variables, batch, deterministic=deterministic,
                            rngs=rngs)
 
-    n_train = 64 if cfg.dataset == "synthetic" else 9989
-    mk = lambda n, s: synthetic_tav_dataset(
-        spec, n, text_len=text_len, audio_len=audio_len,
-        num_classes=cfg.output_dim, seed=s)
-    train_ds, val_ds, test_ds = mk(n_train, 0), mk(16, 1), mk(16, 2)
+    import os
+    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
+    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+        # reference pickle contract (tav_nn.py:146-163): split column,
+        # dialog ids for accumulation, keyframe video via MME_KEYFRAME_GLOB
+        import pandas as pd
+        from mme_tpu.data.records import (PickleDatasetConfig, get_tokenizer,
+                                          build_tav_dataset, split_dataframe)
+        df = pd.read_pickle(pkl)
+        rcfg = PickleDatasetConfig(label_col=cfg.label_task,
+                                   text_max_len=text_len,
+                                   audio_max_samples=audio_len,
+                                   seed=cfg.seed)
+        tok = get_tokenizer(
+            None if spec.text.vocab_size != 50265 else
+            "j-hartmann/emotion-english-distilroberta-base",
+            spec.text.vocab_size)
+        tr, va, te = split_dataframe(df, rcfg)
+        kf = os.environ.get("MME_KEYFRAME_GLOB")
+        train_ds, val_ds, test_ds = (
+            build_tav_dataset(x, rcfg, spec.video.num_frames,
+                              spec.video.image_size, tokenizer=tok,
+                              keyframe_glob=kf)
+            for x in (tr, va, te))
+    else:
+        mk = lambda n, s: synthetic_tav_dataset(
+            spec, n, text_len=text_len, audio_len=audio_len,
+            num_classes=cfg.output_dim, seed=s)
+        train_ds, val_ds, test_ds = mk(64, 0), mk(16, 1), mk(16, 2)
 
     transform = make_video_keep_transform(spec)
     example = transform(jax.random.PRNGKey(0),

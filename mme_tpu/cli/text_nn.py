@@ -20,6 +20,36 @@ from mme_tpu.models.layers import EncoderSpec
 from mme_tpu.models.text import BertClassifier, LSTMClassifier, TextEncoderSpec
 
 
+def _load_datasets(cfg, vocab_size):
+    """Reference pickle when the path exists (utils/data_loaders.py:256-273
+    BertDataset contract); synthetic otherwise."""
+    import os
+    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
+    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+        import pandas as pd
+        from mme_tpu.data.records import (PickleDatasetConfig, get_tokenizer,
+                                          build_text_dataset,
+                                          split_dataframe)
+        df = pd.read_pickle(pkl)
+        rcfg = PickleDatasetConfig(label_col=cfg.label_task,
+                                   text_max_len=cfg.text_max_len,
+                                   seed=cfg.seed)
+        # hash tokenizer must match the model's (possibly reduced) vocab
+        tok = get_tokenizer(None if vocab_size != 50265 else
+                            "j-hartmann/emotion-english-distilroberta-base",
+                            vocab_size)
+        tr, va, te = split_dataframe(df, rcfg)
+        return (build_text_dataset(tr, rcfg, tok),
+                build_text_dataset(va, rcfg, tok),
+                build_text_dataset(te, rcfg, tok))
+    n_train = 256
+    mk = lambda n, s: synthetic_text_dataset(
+        vocab_size, n, text_len=cfg.text_max_len,
+        num_classes=cfg.output_dim, seed=s)
+    return mk(n_train, 0), mk(max(n_train // 8, 32), 1), \
+        mk(max(n_train // 8, 32), 2)
+
+
 def main(argv=None):
     args = arg_parse("text_nn", argv)
     cfg = config_from_args(args)
@@ -39,7 +69,8 @@ def main(argv=None):
         # tiny-ified when running synthetic smoke; full distilroberta shape
         # otherwise
         spec = TextEncoderSpec.distilroberta()
-        if cfg.dataset == "synthetic":
+        import os as _os
+        if cfg.dataset == "synthetic" or _os.environ.get("MME_TINY"):
             spec = dataclasses.replace(
                 spec, vocab_size=512,
                 encoder=dataclasses.replace(spec.encoder, hidden=64, heads=4,
@@ -54,16 +85,7 @@ def main(argv=None):
                                batch["text_mask"],
                                deterministic=deterministic, rngs=rngs)
 
-    n_train = 256 if cfg.dataset == "synthetic" else 9989
-    train_ds = synthetic_text_dataset(spec_vocab, n_train,
-                                      text_len=cfg.text_max_len,
-                                      num_classes=cfg.output_dim, seed=0)
-    val_ds = synthetic_text_dataset(spec_vocab, max(n_train // 8, 32),
-                                    text_len=cfg.text_max_len,
-                                    num_classes=cfg.output_dim, seed=1)
-    test_ds = synthetic_text_dataset(spec_vocab, max(n_train // 8, 32),
-                                     text_len=cfg.text_max_len,
-                                     num_classes=cfg.output_dim, seed=2)
+    train_ds, val_ds, test_ds = _load_datasets(cfg, spec_vocab)
 
     example = {k: jnp.asarray(v[:1]) for k, v in train_ds.features.items()}
     if cfg.model.lower() == "lstm":

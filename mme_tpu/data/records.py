@@ -62,9 +62,13 @@ class HashTokenizer:
         return ids, mask
 
 
-def get_tokenizer(name: str = "j-hartmann/emotion-english-distilroberta-base",
+def get_tokenizer(name: Optional[str] = "j-hartmann/emotion-english-distilroberta-base",
                   vocab_size: int = 50265):
-    """HF tokenizer if resolvable offline, else the hash fallback."""
+    """HF tokenizer if resolvable offline, else the hash fallback.
+    ``name=None`` forces the hash tokenizer (e.g. reduced-vocab models)."""
+    if name is None:
+        h = HashTokenizer(vocab_size)
+        return lambda text, max_length=70: h(text, max_length)
     try:
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(name, local_files_only=True)

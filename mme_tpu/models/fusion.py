@@ -68,6 +68,21 @@ class TAVSpec:
     learn_pos_embeddings: bool = True
     video_keep_k: int = 104   # fused-tower visible patches (≈1568/15, §ops.video)
 
+    def with_compute_dtype(self, dtype: Any) -> "TAVSpec":
+        """Mixed precision: params stay fp32, activations/matmuls in
+        ``dtype`` (bf16 is MXU-native; softmax stays fp32 inside the
+        attention ops)."""
+        def cast(e: EncoderSpec) -> EncoderSpec:
+            return dataclasses.replace(e, dtype=dtype)
+        return dataclasses.replace(
+            self,
+            text=dataclasses.replace(self.text, encoder=cast(self.text.encoder)),
+            audio=dataclasses.replace(self.audio,
+                                      encoder=cast(self.audio.encoder)),
+            video=dataclasses.replace(self.video,
+                                      encoder=cast(self.video.encoder)),
+            fusion=cast(self.fusion))
+
     def tiny(self) -> "TAVSpec":
         """Scaled-down tree for tests/dry-runs."""
         def small(e: EncoderSpec, **kw) -> EncoderSpec:
@@ -124,8 +139,12 @@ class PreFormer(nn.Module):
                  *, deterministic: bool = True
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         s = self.spec
-        # text embeddings (RoBERTa embedding stage, models/tav.py:349)
-        t = self.text_embeddings(input_ids, deterministic=deterministic)
+        # text embeddings (RoBERTa embedding stage, models/tav.py:349);
+        # input_ids=None → audio+video-only fusion, the TripleModels call
+        # pattern (TripleModels/train_model/tav_train.py:32)
+        t = None
+        if input_ids is not None:
+            t = self.text_embeddings(input_ids, deterministic=deterministic)
 
         # audio embedding stage (models/tav.py:352-363)
         feats = self.feature_extractor(waveform)
@@ -151,16 +170,19 @@ class PreFormer(nn.Module):
         # video embedding stage over the sparse keep-mask (models/tav.py:368)
         v = self.video.embed(video, video_keep, s.video_keep_k)
 
-        fused = jnp.concatenate([t, a, v], axis=1)
-        B = fused.shape[0]
-        t_len, a_len, v_len = t.shape[1], a.shape[1], v.shape[1]
-        type_ids = jnp.concatenate([
-            jnp.zeros((B, t_len), jnp.int32),
-            jnp.ones((B, a_len), jnp.int32),
-            jnp.full((B, v_len), 2, jnp.int32)], axis=1)
-        keep = jnp.concatenate([
-            text_mask.astype(jnp.int32), feat_mask.astype(jnp.int32),
-            jnp.ones((B, v_len), jnp.int32)], axis=1)
+        B, a_len, v_len = a.shape[0], a.shape[1], v.shape[1]
+        parts = [a, v]
+        type_parts = [jnp.ones((B, a_len), jnp.int32),
+                      jnp.full((B, v_len), 2, jnp.int32)]
+        keep_parts = [feat_mask.astype(jnp.int32),
+                      jnp.ones((B, v_len), jnp.int32)]
+        if t is not None:
+            parts.insert(0, t)
+            type_parts.insert(0, jnp.zeros((B, t.shape[1]), jnp.int32))
+            keep_parts.insert(0, text_mask.astype(jnp.int32))
+        fused = jnp.concatenate(parts, axis=1)
+        type_ids = jnp.concatenate(type_parts, axis=1)
+        keep = jnp.concatenate(keep_parts, axis=1)
         return fused, type_ids, keep
 
 

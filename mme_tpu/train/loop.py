@@ -81,8 +81,14 @@ def train_network(train_step, eval_step, state: TrainState,
                   batch_transform: BatchTransform = _identity_transform,
                   checkpoints: Optional[CheckpointManager] = None,
                   callbacks: LoopCallbacks = LoopCallbacks(),
-                  use_weighted_loss: bool = True) -> TrainState:
-    """Train with the full reference policy stack; returns the best state."""
+                  use_weighted_loss: bool = True,
+                  resume: bool = False) -> TrainState:
+    """Train with the full reference policy stack; returns the best state.
+
+    ``resume=True`` warm-starts from the best checkpoint in
+    ``cfg.checkpoint_dir`` (the reference's resume path is broken by a key
+    mismatch, ``train_model/tav_train.py:155`` — here it's the same single
+    TrainState round-trip the epoch reload uses)."""
     cw = jnp.asarray(class_weights, jnp.float32)
     host_rng = np.random.default_rng(cfg.seed)
     prev_val_loss = float("inf")
@@ -94,6 +100,9 @@ def train_network(train_step, eval_step, state: TrainState,
 
     if checkpoints is None:
         checkpoints = CheckpointManager(cfg.checkpoint_dir)
+    if resume and checkpoints.has_best():
+        state, meta = checkpoints.restore_best(state)
+        prev_val_loss = float(meta.get("val_loss", prev_val_loss))
 
     for epoch in range(cfg.epoch):
         order = epoch_order(host_rng, epoch, cfg.epoch_switch,
