@@ -63,9 +63,9 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     # warmup / compile
-    state, loss, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
+    state, loss, _, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
     loss.block_until_ready()
-    state, loss, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
+    state, loss, _, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
     loss.block_until_ready()
 
     # the shared-tunnel TPU shows heavy run-to-run contention noise; take
@@ -75,8 +75,8 @@ def main():
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, loss, _ = train_step(state, batch, labels, mask, cw, one,
-                                        yes, rng)
+            state, loss, _, _ = train_step(state, batch, labels, mask, cw,
+                                           one, yes, rng)
         loss.block_until_ready()
         best_dt = min(best_dt, time.perf_counter() - t0)
     import math

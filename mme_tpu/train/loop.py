@@ -135,7 +135,7 @@ def train_network(train_step, eval_step, state: TrainState,
 
             rng, sub = jax.random.split(rng)
             tbatch = batch_transform(sub, batch)
-            state, loss, cm = train_step(
+            state, loss, cm, grad_norm = train_step(
                 state, tbatch, jnp.asarray(labels), jnp.asarray(mask),
                 step_weights, jnp.asarray(loss_scale, jnp.float32),
                 jnp.asarray(apply_update), rng)
@@ -146,6 +146,7 @@ def train_network(train_step, eval_step, state: TrainState,
             if ((bi + 1) % cfg.log_val == 0) or (bi + 1 == iters):
                 d = metric.summary("train")
                 d["train/loss"] = total_loss / max(steps_done, 1)
+                d["train/grad_norm"] = float(grad_norm)
                 d["train/steps_per_sec"] = steps_done / max(
                     time.time() - t0, 1e-9)
                 d["epoch"] = epoch

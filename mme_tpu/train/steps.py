@@ -124,13 +124,16 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, labels, num_classes, sample_mask)
+        # gradient global norm: the observability wandb.watch(log="all")
+        # provided in the reference (tav_nn.py:104-105), as one scalar
+        grad_norm = optax.global_norm(grads)
 
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt,
             accum_grads=new_accum, accum_count=new_count,
             batch_stats=(mutated["batch_stats"] if mutated is not None
                          else state.batch_stats))
-        return new_state, scaled_loss, cm
+        return new_state, scaled_loss, cm, grad_norm
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)

@@ -33,7 +33,7 @@ def test_dp_sharded_step_matches_single_device():
 
     # single-device baseline (fresh state; the step donates its input)
     state_a = jax.tree.map(jnp.copy, state0)
-    state_a, loss_a, cm_a = train_step(state_a, batch, labels, mask, cw,
+    state_a, loss_a, cm_a, _gn = train_step(state_a, batch, labels, mask, cw,
                                        one, yes, rng)
 
     mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
@@ -42,7 +42,7 @@ def test_dp_sharded_step_matches_single_device():
         sbatch = shard_batch(batch, mesh)
         slabels = shard_batch({"x": labels}, mesh)["x"]
         smask = shard_batch({"x": mask}, mesh)["x"]
-        state_b, loss_b, cm_b = train_step(state_b, sbatch, slabels, smask,
+        state_b, loss_b, cm_b, _gn = train_step(state_b, sbatch, slabels, smask,
                                            replicate(cw, mesh), one, yes, rng)
 
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
