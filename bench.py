@@ -40,7 +40,7 @@ def main():
 
     import jax.numpy as jnp_  # local alias for the dtype switch
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     audio_len = int(os.environ.get("BENCH_AUDIO_LEN", "96000"))  # 6 s
     text_len = 70
     steps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -69,18 +69,22 @@ def main():
     loss.block_until_ready()
 
     # the shared-tunnel TPU shows heavy run-to-run contention noise; take
-    # the best of several windows as the capability number
+    # the best of several windows. Sync by TRANSFERRING the final loss:
+    # through this relay, block_until_ready can resolve before device
+    # completion under deep queues, while float() needs the real bytes —
+    # and the loss depends on every step through the threaded state.
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     best_dt = float("inf")
+    last_loss = float("nan")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, loss, _, _ = train_step(state, batch, labels, mask, cw,
                                            one, yes, rng)
-        loss.block_until_ready()
+        last_loss = float(loss)  # host transfer = true device sync
         best_dt = min(best_dt, time.perf_counter() - t0)
     import math
-    assert math.isfinite(float(loss)), f"non-finite training loss {loss}"
+    assert math.isfinite(last_loss), f"non-finite training loss {last_loss}"
 
     n_chips = max(len(jax.devices()), 1)
     utt_per_sec_per_chip = batch_size * steps / best_dt / n_chips

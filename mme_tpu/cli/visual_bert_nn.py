@@ -15,7 +15,6 @@ import numpy as np
 from mme_tpu.core.config import arg_parse, config_from_args
 from mme_tpu.cli.common import run_classifier
 from mme_tpu.data.dataset import ArrayDataset
-from mme_tpu.models.layers import EncoderSpec
 from mme_tpu.models.visualbert import VBertClassifier, VisualBertSpec
 
 

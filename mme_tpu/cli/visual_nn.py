@@ -4,8 +4,6 @@ the scratch Conv3D classifier (``SingleModels/models/visual.py``)."""
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ mode, with a planted label signal so training measurably learns.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -184,7 +184,11 @@ class Wav2Vec2Model(nn.Module):
                  *, deterministic: bool = True
                  ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
         s = self.spec
-        features = ConvFeatureExtractor(s, name="feature_extractor")(waveform)
+        # remat the conv stack with the encoders: its [B, T/5, 512]
+        # activations over ~1e5-sample waveforms dominate HBM otherwise
+        fe_cls = (nn.remat(ConvFeatureExtractor) if s.encoder.remat
+                  else ConvFeatureExtractor)
+        features = fe_cls(s, name="feature_extractor")(waveform)
         feat_mask = None
         if attention_mask is not None:
             feat_mask = feature_vector_attention_mask(

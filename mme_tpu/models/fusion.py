@@ -120,7 +120,9 @@ class PreFormer(nn.Module):
     def setup(self):
         s = self.spec
         self.text_embeddings = TextEmbeddings(s.text)
-        self.feature_extractor = ConvFeatureExtractor(s.audio)
+        fe_cls = (nn.remat(ConvFeatureExtractor) if s.audio.encoder.remat
+                  else ConvFeatureExtractor)
+        self.feature_extractor = fe_cls(s.audio)
         self.feature_projection = FeatureProjection(s.audio)
         self.pos_conv = PositionalConvEmbedding(s.audio)
         self.audio_ln = nn.LayerNorm(epsilon=s.audio.encoder.ln_eps,

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mme_tpu.models.layers import EncoderSpec, TransformerEncoder
-from mme_tpu.ops.attention import additive_mask
 from mme_tpu.ops.video import gather_visible, sinusoid_position_table
 
 

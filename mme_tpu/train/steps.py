@@ -16,7 +16,6 @@ same XLA program (and a single psum in the sharded case).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -75,8 +74,9 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     ``(logits, new_batch_stats)`` mutable when has_batch_stats).
     The returned step:
 
-        state, loss, cm = step(state, batch, labels, sample_mask,
-                               class_weights, loss_scale, apply_update, rng)
+        state, loss, cm, grad_norm = step(
+            state, batch, labels, sample_mask, class_weights, loss_scale,
+            apply_update, rng)
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array],
