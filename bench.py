@@ -48,12 +48,19 @@ def main():
     spec = TAVSpec(output_dim=7)
     if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
         spec = spec.with_compute_dtype(jnp_.bfloat16)
+    # conv-only remat measured fastest at batch 8 (BASELINE.md): the conv
+    # stack's activations are the HBM hog; encoder activations fit
+    import dataclasses as _dc
+    spec = _dc.replace(spec, audio=_dc.replace(spec.audio, remat_conv=True))
+    remat_mode = os.environ.get("BENCH_REMAT", "conv")  # conv|full
+    full_remat = remat_mode == "full"
     cfg = ExperimentConfig(batch_size=batch_size, learning_rate=5e-6,
                            text_max_len=text_len,
                            audio_max_samples=audio_len)
     batch = example_tav_batch(spec, batch_size, text_len, audio_len)
     _model, state, train_step, _ = build_tav(
-        spec, cfg, steps_per_epoch=1000, example_batch=batch, remat=True)
+        spec, cfg, steps_per_epoch=1000, example_batch=batch,
+        remat=full_remat)
 
     labels = jnp.zeros((batch_size,), jnp.int32)
     mask = jnp.ones((batch_size,), jnp.int32)

@@ -48,6 +48,7 @@ class Wav2Vec2Spec:
     mask_feature_prob: float = 0.0
     mask_feature_length: int = 10
     mask_feature_min_masks: int = 0
+    remat_conv: bool = False  # remat the conv stack independently of encoders
     encoder: EncoderSpec = dataclasses.field(default_factory=lambda: EncoderSpec(
         hidden=768, heads=12, layers=12, intermediate=3072,
         ln_style="post", ln_eps=1e-5))
@@ -186,7 +187,8 @@ class Wav2Vec2Model(nn.Module):
         s = self.spec
         # remat the conv stack with the encoders: its [B, T/5, 512]
         # activations over ~1e5-sample waveforms dominate HBM otherwise
-        fe_cls = (nn.remat(ConvFeatureExtractor) if s.encoder.remat
+        fe_cls = (nn.remat(ConvFeatureExtractor)
+                  if (s.encoder.remat or s.remat_conv)
                   else ConvFeatureExtractor)
         features = fe_cls(s, name="feature_extractor")(waveform)
         feat_mask = None

@@ -120,7 +120,8 @@ class PreFormer(nn.Module):
     def setup(self):
         s = self.spec
         self.text_embeddings = TextEmbeddings(s.text)
-        fe_cls = (nn.remat(ConvFeatureExtractor) if s.audio.encoder.remat
+        fe_cls = (nn.remat(ConvFeatureExtractor)
+                  if (s.audio.encoder.remat or s.audio.remat_conv)
                   else ConvFeatureExtractor)
         self.feature_extractor = fe_cls(s.audio)
         self.feature_projection = FeatureProjection(s.audio)
