@@ -51,11 +51,12 @@ class Wav2Vec2Spec:
     remat_conv: bool = False  # remat the conv stack independently of encoders
     encoder: EncoderSpec = dataclasses.field(default_factory=lambda: EncoderSpec(
         hidden=768, heads=12, layers=12, intermediate=3072,
-        ln_style="post", ln_eps=1e-5))
+        ln_style="post", ln_eps=1e-5, dropout=0.1))
 
     @staticmethod
     def base(**kw: Any) -> "Wav2Vec2Spec":
-        """'superb/wav2vec2-base-superb-er'-shaped model."""
+        """'superb/wav2vec2-base-superb-er'-shaped model (hidden dropout
+        0.1 during training, the HF default)."""
         return Wav2Vec2Spec(**kw)
 
     @staticmethod
@@ -66,7 +67,8 @@ class Wav2Vec2Spec:
             do_stable_layer_norm=True,
             encoder=EncoderSpec(hidden=1024, heads=16, layers=24,
                                 intermediate=4096, ln_style="pre",
-                                ln_eps=1e-5, final_ln=True), **kw)
+                                ln_eps=1e-5, final_ln=True, dropout=0.1),
+            **kw)
 
 
 class ConvFeatureExtractor(nn.Module):

@@ -36,11 +36,12 @@ class TextEncoderSpec:
     position_style: str = "roberta"  # "roberta" (pad-offset cumsum) | "bert"
     encoder: EncoderSpec = dataclasses.field(default_factory=lambda: EncoderSpec(
         hidden=768, heads=12, layers=6, intermediate=3072,
-        ln_style="post", ln_eps=1e-5))
+        ln_style="post", ln_eps=1e-5, dropout=0.1))
 
     @staticmethod
     def distilroberta(**kw: Any) -> "TextEncoderSpec":
-        """'j-hartmann/emotion-english-distilroberta-base' architecture."""
+        """'j-hartmann/emotion-english-distilroberta-base' architecture
+        (hidden dropout 0.1 during training, the HF default)."""
         return TextEncoderSpec(**kw)
 
     @staticmethod
@@ -52,7 +53,8 @@ class TextEncoderSpec:
                                                    layers=12,
                                                    intermediate=3072,
                                                    ln_style="post",
-                                                   ln_eps=1e-12), **kw)
+                                                   ln_eps=1e-12,
+                                                   dropout=0.1), **kw)
 
 
 def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
