@@ -17,7 +17,7 @@ import numpy as np
 from mme_tpu.core.config import arg_parse, config_from_args
 from mme_tpu.cli.common import run_classifier
 from mme_tpu.data.synthetic import synthetic_tav_dataset
-from mme_tpu.models.fusion import TAVModel, TAVSpec
+from mme_tpu.models.fusion import FUSION_MODELS, TAVSpec
 from mme_tpu.train.build_tav import make_video_keep_transform
 
 
@@ -35,7 +35,10 @@ def main(argv=None):
         spec = spec.tiny()
         audio_len, text_len = 2000, 16
 
-    model = TAVModel(spec)
+    # -m selects the fusion architecture (reference tav_nn.py model flag;
+    # 'MAE_encoder' is its default)
+    model_cls = FUSION_MODELS.get(cfg.model, FUSION_MODELS["MAE_encoder"])
+    model = model_cls(spec)
 
     def apply_fn(variables, batch, deterministic=True, rngs=None,
                  mutable=None):

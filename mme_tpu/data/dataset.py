@@ -54,3 +54,32 @@ def batches(ds: ArrayDataset, order: np.ndarray, batch_size: int
             idx = np.concatenate([idx, np.full(pad, order[0])])
         batch, labels = ds.gather(idx)
         yield batch, labels, mask, idx
+
+
+def bucketed_batches(ds: ArrayDataset, order: np.ndarray, batch_size: int,
+                     sample_lengths: np.ndarray,
+                     bucket_bounds: Tuple[int, ...],
+                     length_keys: Tuple[str, ...] = ("waveform",
+                                                     "audio_mask")):
+    """Length-bucketed batching: group samples by true length and truncate
+    the ragged features of each batch to its bucket bound.
+
+    The reference pads per batch dynamically (``models/tav.py:228``), which
+    on TPU would recompile per batch; dataset-level caps waste FLOPs on
+    short utterances. Buckets give one compiled shape per bound (a handful)
+    while cutting padding compute. Yields (batch, labels, sample_mask,
+    indices, bound).
+    """
+    bounds = sorted(bucket_bounds)
+    assert sample_lengths.max() <= bounds[-1], (
+        f"max length {sample_lengths.max()} exceeds largest bucket "
+        f"{bounds[-1]}")
+    bucket_of = np.searchsorted(bounds, sample_lengths[order])
+    for b, bound in enumerate(bounds):
+        sel = order[bucket_of == b]
+        if len(sel) == 0:
+            continue
+        for batch, labels, mask, idx in batches(ds, sel, batch_size):
+            sliced = {k: (v[:, :bound] if k in length_keys else v)
+                      for k, v in batch.items()}
+            yield sliced, labels, mask, idx, bound

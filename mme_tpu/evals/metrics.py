@@ -135,11 +135,13 @@ class Metrics:
                 float(s["weighted_f1"]), float(s["macro_recall"]),
                 float(s["macro_precision"]), np.asarray(jax.device_get(self.cm)))
 
-    def summary(self, name: str) -> Dict[str, float]:
+    def summary(self, name: str, include_confusion: bool = False
+                ) -> Dict[str, float]:
         """Flat scalar dict in the reference's ``log()`` key scheme
-        (``train_model/tav_train.py:170-183``)."""
+        (``train_model/tav_train.py:170-183``). ``include_confusion`` adds
+        the matrix (the reference prints it on every log, ``:180``)."""
         (multi_acc, multi_f1, multi_rec, multi_prec,
-         acc, f1_macro, f1_weighted, rec, prec, _cm) = self.compute_scores(name)
+         acc, f1_macro, f1_weighted, rec, prec, cm) = self.compute_scores(name)
         d = {
             f"{name}/acc": acc,
             f"{name}/precision": prec,
@@ -151,4 +153,6 @@ class Metrics:
         d.update(multi_rec)
         d.update(multi_prec)
         d.update(multi_acc)
+        if include_confusion:
+            d[f"{name}/confusion_matrix"] = cm.tolist()
         return d

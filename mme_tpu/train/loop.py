@@ -65,7 +65,7 @@ def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
         metric.merge(cm)
         steps += 1
     avg = total_loss / max(steps, 1)
-    d = metric.summary(name)
+    d = metric.summary(name, include_confusion=True)
     d[f"{name}/loss"] = avg
     callbacks.log(d)
     metric.reset_metrics()

@@ -123,3 +123,27 @@ def test_build_tav_with_keyframes(frame, tmp_path):
     assert v.shape == (12, 4, 32, 32, 3)
     assert np.abs(v[0, :3]).sum() > 0      # 3 real frames
     assert np.abs(v[0, 3]).sum() == 0      # zero-padded 4th
+
+
+def test_bucketed_batches():
+    import numpy as np
+    from mme_tpu.data.dataset import ArrayDataset, bucketed_batches
+    n, T = 20, 100
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(10, T + 1, n)
+    t = np.arange(T)[None, :]
+    mask = (t < lengths[:, None]).astype(np.int32)
+    wave = rng.randn(n, T).astype(np.float32) * mask
+    ds = ArrayDataset({"waveform": wave, "audio_mask": mask,
+                       "other": rng.randn(n, 3).astype(np.float32)},
+                      rng.randint(0, 3, n).astype(np.int64))
+    seen = set()
+    for batch, labels, smask, idx, bound in bucketed_batches(
+            ds, np.arange(n), 4, lengths, (32, 64, 100)):
+        assert batch["waveform"].shape[1] == bound
+        assert batch["other"].shape[1] == 3  # non-length keys untouched
+        # every real sample in this batch truly fits the bound
+        real = idx[smask.astype(bool)[:len(idx)]]
+        assert (lengths[real] <= bound).all()
+        seen.update(real.tolist())
+    assert seen == set(range(n))  # full coverage, no duplicates lost
