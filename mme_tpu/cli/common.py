@@ -90,11 +90,22 @@ def run_classifier(cfg: ExperimentConfig,
         kwargs["batch_transform"] = batch_transform
     ckpts = CheckpointManager(cfg.checkpoint_dir)
     use_weighted = cfg.loss == "NewCrossEntropy"
-    state = train_network(train_step, eval_step, state, train_ds, val_ds,
-                          cfg, metric, cw, sw,
-                          jax.random.PRNGKey(cfg.seed), checkpoints=ckpts,
-                          callbacks=cb, use_weighted_loss=use_weighted,
-                          **kwargs)
+    import os
+    if os.environ.get("MME_EVAL_ONLY"):
+        # offline re-evaluation of a saved checkpoint — the capability of
+        # the reference's EvaluationScripts/*_eval.ipynb notebooks
+        assert ckpts.has_best(), (
+            f"MME_EVAL_ONLY set but no checkpoint in {cfg.checkpoint_dir}")
+        state, meta = ckpts.restore_best(state)
+        print_log({"restored": meta})
+    else:
+        state = train_network(train_step, eval_step, state, train_ds, val_ds,
+                              cfg, metric, cw, sw,
+                              jax.random.PRNGKey(cfg.seed),
+                              checkpoints=ckpts, callbacks=cb,
+                              use_weighted_loss=use_weighted,
+                              resume=bool(os.environ.get("MME_RESUME")),
+                              **kwargs)
     summary = evaluate(eval_step, state, test_ds, cfg, metric,
                        callbacks=cb, **kwargs)
     print_log(summary)
