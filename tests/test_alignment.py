@@ -61,3 +61,30 @@ def test_unalignable_returns_none():
     out = utterance_bounds(em, "aaaaaaaaaa", char2id, num_samples=1600)
     # ten tokens cannot fit in five frames → None
     assert out is None
+
+
+def test_align_cli_roundtrip(tmp_path):
+    """The forced-alignment CLI writes timings back to the pickle
+    (reference images_nn.py:323-334 contract)."""
+    import pandas as pd
+    from mme_tpu.cli import align as align_cli
+
+    df = pd.DataFrame({"text": ["ab", "ba"], "audio_shape": [40 * 320] * 2})
+    pkl = tmp_path / "d.pkl"
+    df.to_pickle(pkl)
+
+    labels = tmp_path / "labels.txt"
+    labels.write_text("-\n|\n'\na\nb\n")  # blank, |, ', a=3, b=4
+
+    emdir = tmp_path / "em"
+    emdir.mkdir()
+    np.save(emdir / "0.npy", _emission_for([3, 4], 40, 8,
+                                           [(8, 12), (14, 18)]))
+    # no emission for row 1 → timings None
+
+    out = align_cli.main([str(pkl), "--emissions_dir", str(emdir),
+                          "--labels", str(labels)])
+    res = pd.read_pickle(out)
+    t0 = res["timings"].iloc[0]
+    assert t0 is not None and 0.0 < t0[0] < t0[1]
+    assert res["timings"].iloc[1] is None
