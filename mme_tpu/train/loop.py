@@ -122,14 +122,25 @@ def train_network(train_step, eval_step, state: TrainState,
         for bi, (batch, labels, mask, idx) in enumerate(
                 batches(train_ds, order, cfg.batch_size)):
             if use_dialog_accum:
-                # advance the accumulator over this batch's samples
-                loss_scale, apply_update = None, False
-                for j in range(len(idx)):
-                    size, boundary = accum.step(bi * cfg.batch_size + j)
-                    if loss_scale is None:
-                        loss_scale = 1.0 / size
+                # Odd epochs run in sequential order, so batch position ==
+                # dataset index. A "virtual batch" closes when any sample in
+                # this batch ends a dialog. Per-micro-step losses stay
+                # UNscaled: the boundary update in train/steps.py averages
+                # the accumulated grads over the micro-step count, so a
+                # dialog of N accumulated at batch_size=1 produces exactly
+                # the batch-of-N mean update (reference semantics: loss/size
+                # + summed grads, train_model/tav_train.py:96-105; the
+                # reference hardcodes batch_size=1 here,
+                # TripleModels/tav_nn.py:141). Scaling here as well would
+                # divide twice (round-1 bug: updates 1/size too small). With
+                # batch_size>1 each micro-batch carries equal weight in the
+                # mean — well-defined, exact at batch_size=1.
+                apply_update = False
+                for j in range(int(mask.sum())):
+                    _size, boundary = accum.step(bi * cfg.batch_size + j)
                     apply_update = apply_update or boundary
                 apply_update = apply_update or (bi + 1 == iters)
+                loss_scale = 1.0
             else:
                 loss_scale, apply_update = 1.0, True
 
