@@ -18,7 +18,8 @@ from mme_tpu.core.config import arg_parse, config_from_args
 from mme_tpu.cli.common import run_classifier
 from mme_tpu.data.synthetic import synthetic_tav_dataset
 from mme_tpu.models.fusion import FUSION_MODELS, TAVSpec
-from mme_tpu.train.build_tav import make_video_keep_transform
+from mme_tpu.train.build_tav import (make_video_keep_transform,
+                                     modality_embedding_trainable_mask)
 
 
 def main(argv=None):
@@ -28,6 +29,13 @@ def main(argv=None):
 
     spec = TAVSpec(output_dim=cfg.output_dim, dropout=cfg.dropout,
                    learn_pos_embeddings=cfg.learn_PosEmbeddings)
+    if not cfg.mask:
+        # --mask gates the masking augmentations for real (the reference
+        # parses it and ignores it, tav_nn.py:78): off → no SpecAugment,
+        # deterministic visual keep-mask below.
+        import dataclasses as _dc
+        spec = _dc.replace(spec, audio=_dc.replace(
+            spec.audio, mask_time_prob=0.0, mask_feature_prob=0.0))
     audio_len = cfg.audio_max_samples
     text_len = cfg.text_max_len
     import os as _os
@@ -75,13 +83,15 @@ def main(argv=None):
             num_classes=cfg.output_dim, seed=s)
         train_ds, val_ds, test_ds = mk(64, 0), mk(16, 1), mk(16, 2)
 
-    transform = make_video_keep_transform(spec)
+    transform = make_video_keep_transform(spec, random_mask=cfg.mask)
     example = transform(jax.random.PRNGKey(0),
                         {k: jnp.asarray(v[:1])
                          for k, v in train_ds.features.items()})
     params = model.init(jax.random.PRNGKey(cfg.seed), example)["params"]
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
                           batch_transform=transform,
+                          trainable_mask=modality_embedding_trainable_mask(
+                              params, spec.learn_pos_embeddings),
                           rng_names=("dropout", "spec_augment"))
 
 

@@ -41,6 +41,19 @@ def balanced_keep_mask(rng: jax.Array, batch: int, num_tokens: int,
     return scores >= kth
 
 
+def uniform_keep_mask(batch: int, num_tokens: int, keep_k: int) -> jax.Array:
+    """Deterministic keep-mask: ``keep_k`` evenly-strided True per row.
+
+    The non-random counterpart of :func:`balanced_keep_mask`, used when the
+    ``--mask`` flag disables the visual-mask augmentation (the reference
+    parses that flag but never reads it, ``tav_nn.py:78`` — here it gates
+    this for real). Same static shape/count contract as the random mask."""
+    idx = jnp.floor(jnp.arange(keep_k) * (num_tokens / keep_k)).astype(
+        jnp.int32)
+    row = jnp.zeros((num_tokens,), bool).at[idx].set(True)
+    return jnp.broadcast_to(row, (batch, num_tokens))
+
+
 def gather_visible(x: jax.Array, keep: jax.Array, keep_k: int) -> jax.Array:
     """Select kept tokens in original order: [B, N, D] + keep [B, N] →
     [B, keep_k, D] (HF VideoMAE's ``x[~bool_masked_pos]`` reshape)."""

@@ -18,7 +18,7 @@ import numpy as np
 
 from mme_tpu.core.config import ExperimentConfig
 from mme_tpu.models.fusion import TAVModel, TAVSpec
-from mme_tpu.ops.video import balanced_keep_mask
+from mme_tpu.ops.video import balanced_keep_mask, uniform_keep_mask
 from mme_tpu.train.schedules import cosine_warm_restarts
 from mme_tpu.train.steps import (TrainState, make_eval_step, make_optimizer,
                                  make_train_step)
@@ -46,18 +46,43 @@ def example_tav_batch(spec: TAVSpec, batch_size: int, text_len: int,
     }
 
 
-def make_video_keep_transform(spec: TAVSpec):
-    """Per-batch random balanced keep-mask — the reference samples its
-    visual mask in collate every batch (``models/tav.py:207-217``)."""
+def make_video_keep_transform(spec: TAVSpec, random_mask: bool = True):
+    """Per-batch visual keep-mask.
+
+    ``random_mask=True``: random balanced mask resampled every batch — the
+    reference's collate behavior (``models/tav.py:207-217``).
+    ``random_mask=False``: a fixed evenly-strided mask — the ``--mask``
+    flag's off position (the reference parses the flag but never reads it,
+    ``tav_nn.py:78``; here it genuinely gates the masking augmentations)."""
 
     def transform(rng: jax.Array, batch: Dict[str, Any]) -> Dict[str, Any]:
         b = dict(batch)
         n = len(next(iter(batch.values())))
-        b["video_keep"] = balanced_keep_mask(rng, n, spec.video.num_patches,
-                                             spec.video_keep_k)
+        if random_mask:
+            b["video_keep"] = balanced_keep_mask(
+                rng, n, spec.video.num_patches, spec.video_keep_k)
+        else:
+            b["video_keep"] = uniform_keep_mask(
+                n, spec.video.num_patches, spec.video_keep_k)
         return b
 
     return transform
+
+
+def modality_embedding_trainable_mask(params: Any, learn: bool):
+    """``learn_PosEmbeddings`` flag: the reference toggles ``requires_grad``
+    on the 3-way modality embedding (``models/tav.py:435-436``). Expressed
+    here as an optax trainable mask: returns None when everything trains
+    (no masking overhead), else a bool pytree freezing every leaf under a
+    ``modality_embedding`` module."""
+    if learn:
+        return None
+
+    def keep(path) -> bool:
+        return not any(getattr(k, "key", None) == "modality_embedding"
+                       for k in path)
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: keep(p), params)
 
 
 def build_tav(spec: TAVSpec, cfg: ExperimentConfig, steps_per_epoch: int,
@@ -88,7 +113,8 @@ def build_tav(spec: TAVSpec, cfg: ExperimentConfig, steps_per_epoch: int,
 
     tx = make_optimizer(
         cosine_warm_restarts(cfg.learning_rate, cfg.T_max, steps_per_epoch),
-        cfg.weight_decay, cfg.clip)
+        cfg.weight_decay, cfg.clip,
+        modality_embedding_trainable_mask(params, spec.learn_pos_embeddings))
     state = TrainState.create(params, tx)
 
     def apply_fn(variables, batch, deterministic=True, rngs=None,

@@ -59,7 +59,13 @@ def make_optimizer(lr_schedule: Callable, weight_decay: float,
                     weight_decay=weight_decay),
     )
     if trainable_mask is not None:
-        tx = optax.chain(optax.masked(tx, trainable_mask))
+        # NOT optax.masked(tx, mask): masked passes the untouched raw
+        # gradient through for mask=False leaves, so "frozen" params would
+        # still move. multi_transform + set_to_zero actually freezes them.
+        labels = jax.tree.map(lambda t: "train" if t else "freeze",
+                              trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
 
 
