@@ -65,6 +65,15 @@ def main(argv=None):
     params = model.init(
         jax.random.PRNGKey(cfg.seed), example["waveform"],
         example["audio_mask"])["params"]
+    from mme_tpu.models.pretrained import (AUDIO_SUPERB,
+                                           load_audio_classifier,
+                                           pretrained_root)
+    root = pretrained_root()
+    if root and spec.conv_dims == (512,) * 7:  # full-size tower only
+        params, ok = load_audio_classifier(params, spec, root)
+        if ok:
+            print(f"loaded pretrained audio tower from {root} "
+                  f"({AUDIO_SUPERB})", flush=True)
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
                           rng_names=("dropout", "spec_augment"))
 

@@ -88,6 +88,12 @@ def main(argv=None):
                         {k: jnp.asarray(v[:1])
                          for k, v in train_ds.features.items()})
     params = model.init(jax.random.PRNGKey(cfg.seed), example)["params"]
+    from mme_tpu.models.pretrained import load_tav, pretrained_root
+    root = pretrained_root()
+    if root and spec.hidden == 768 and model_cls.__name__ == "TAVModel":
+        params, loaded = load_tav(params, spec, root)
+        for name in loaded:
+            print(f"loaded pretrained tower: {name}", flush=True)
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
                           batch_transform=transform,
                           trainable_mask=modality_embedding_trainable_mask(

@@ -20,7 +20,7 @@ from mme_tpu.models.layers import EncoderSpec
 from mme_tpu.models.text import BertClassifier, LSTMClassifier, TextEncoderSpec
 
 
-def _load_datasets(cfg, vocab_size):
+def _load_datasets(cfg, vocab_size, tokenizer=None):
     """Reference pickle when the path exists (utils/data_loaders.py:256-273
     BertDataset contract); synthetic otherwise."""
     import os
@@ -35,9 +35,10 @@ def _load_datasets(cfg, vocab_size):
                                    text_max_len=cfg.text_max_len,
                                    seed=cfg.seed)
         # hash tokenizer must match the model's (possibly reduced) vocab
-        tok = get_tokenizer(None if vocab_size != 50265 else
-                            "j-hartmann/emotion-english-distilroberta-base",
-                            vocab_size)
+        tok = tokenizer or get_tokenizer(
+            None if vocab_size != 50265 else
+            "j-hartmann/emotion-english-distilroberta-base",
+            vocab_size)
         tr, va, te = split_dataframe(df, rcfg)
         return (build_text_dataset(tr, rcfg, tok),
                 build_text_dataset(va, rcfg, tok),
@@ -55,9 +56,24 @@ def main(argv=None):
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)
 
+    glove_table, glove_tokenizer = None, None
     if cfg.model.lower() == "lstm":
-        vocab = 5000
-        model = LSTMClassifier(vocab_size=vocab, num_layers=cfg.lstm_layers,
+        vocab, embed_dim = 5000, 300
+        import os as _os
+        glove_path = _os.environ.get("MME_GLOVE")
+        if glove_path and _os.path.exists(glove_path):
+            # pretrained GloVe vectors into the LSTM embedding (reference
+            # SingleModels/models/text.py:22 via torchtext)
+            from mme_tpu.data.glove import load_glove_txt, tokenize_with_vocab
+            max_words = int(_os.environ.get("MME_GLOVE_MAX", "50000"))
+            gvocab, glove_table = load_glove_txt(glove_path, max_words)
+            vocab, embed_dim = glove_table.shape
+
+            def glove_tokenizer(text, max_length=70):
+                ids = tokenize_with_vocab([text], gvocab, max_length)[0]
+                return ids.tolist(), (ids != 0).astype(int).tolist()
+        model = LSTMClassifier(vocab_size=vocab, embed_dim=embed_dim,
+                               num_layers=cfg.lstm_layers,
                                output_dim=cfg.output_dim)
         spec_vocab = vocab
 
@@ -85,16 +101,31 @@ def main(argv=None):
                                batch["text_mask"],
                                deterministic=deterministic, rngs=rngs)
 
-    train_ds, val_ds, test_ds = _load_datasets(cfg, spec_vocab)
+    train_ds, val_ds, test_ds = _load_datasets(cfg, spec_vocab,
+                                               tokenizer=glove_tokenizer)
 
     example = {k: jnp.asarray(v[:1]) for k, v in train_ds.features.items()}
     if cfg.model.lower() == "lstm":
         params = model.init(jax.random.PRNGKey(cfg.seed),
                             example["input_ids"])["params"]
+        if glove_table is not None:
+            from mme_tpu.data.glove import set_embedding_table
+            params = set_embedding_table(params, glove_table)
+            print(f"loaded GloVe vectors {glove_table.shape} into "
+                  "LSTM embedding", flush=True)
     else:
         params = model.init(jax.random.PRNGKey(cfg.seed),
                             example["input_ids"],
                             example["text_mask"])["params"]
+        from mme_tpu.models.pretrained import (load_text_classifier,
+                                               pretrained_root)
+        root = pretrained_root()
+        if root and spec.vocab_size == 50265:
+            params, ok = load_text_classifier(params, spec, root)
+            if ok:
+                print("loaded pretrained text tower from "
+                      f"{root} (j-hartmann/emotion-english-distilroberta-"
+                      "base)", flush=True)
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds)
 
 

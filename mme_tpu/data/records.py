@@ -71,7 +71,17 @@ def get_tokenizer(name: Optional[str] = "j-hartmann/emotion-english-distilrobert
         return lambda text, max_length=70: h(text, max_length)
     try:
         from transformers import AutoTokenizer
-        tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
+        # MME_PRETRAINED holds locally cached checkpoints (incl. tokenizer
+        # files); prefer it over the (network-dependent) hub cache
+        source = name
+        root = os.environ.get("MME_PRETRAINED")
+        if root:
+            from mme_tpu.models.pretrained import find_checkpoint_dir
+            local = find_checkpoint_dir(root, name)
+            if local and os.path.exists(os.path.join(local,
+                                                     "tokenizer_config.json")):
+                source = local
+        tok = AutoTokenizer.from_pretrained(source, local_files_only=True)
 
         def encode(text: str, max_length: int = 70):
             out = tok(text, padding="max_length", max_length=max_length,
@@ -80,6 +90,14 @@ def get_tokenizer(name: Optional[str] = "j-hartmann/emotion-english-distilrobert
 
         return encode
     except Exception:
+        # LOUD fallback: hash ids are fine for smoke tests but garbage for a
+        # real pretrained model — a silent swap would just read as lower F1.
+        import warnings
+        warnings.warn(
+            f"tokenizer '{name}' not resolvable offline (set MME_PRETRAINED "
+            "to a dir of cached checkpoints); FALLING BACK TO A HASH "
+            "TOKENIZER — token ids will NOT match pretrained embeddings",
+            stacklevel=2)
         h = HashTokenizer(vocab_size)
         return lambda text, max_length=70: h(text, max_length)
 
