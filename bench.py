@@ -83,13 +83,15 @@ def main():
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     best_dt = float("inf")
     last_loss = float("nan")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, loss, _, _ = train_step(state, batch, labels, mask, cw,
-                                           one, yes, rng)
-        last_loss = float(loss)  # host transfer = true device sync
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    from mme_tpu.utils.profiling import profile_trace
+    with profile_trace(os.environ.get("MME_PROFILE_DIR")):
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, loss, _, _ = train_step(state, batch, labels, mask,
+                                               cw, one, yes, rng)
+            last_loss = float(loss)  # host transfer = true device sync
+            best_dt = min(best_dt, time.perf_counter() - t0)
     import math
     assert math.isfinite(last_loss), f"non-finite training loss {last_loss}"
 

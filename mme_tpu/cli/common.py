@@ -84,13 +84,23 @@ def run_classifier(cfg: ExperimentConfig,
     eval_step = make_eval_step(apply_fn, num_classes=num_classes,
                                has_batch_stats=batch_stats is not None)
 
-    cb = LoopCallbacks(log=print_log)
+    # every run leaves a JSONL metrics trail next to its checkpoints (the
+    # reference's wandb.log stream; MME_RUN_DIR overrides the location)
+    import os
+    from mme_tpu.utils.profiling import RunLogger
+    run_dir = os.environ.get("MME_RUN_DIR", cfg.checkpoint_dir)
+    logger = RunLogger(run_dir)
+
+    def _log(d: Dict[str, float]) -> None:
+        print_log(d)
+        logger.log(d)
+
+    cb = LoopCallbacks(log=_log)
     kwargs = {}
     if batch_transform is not None:
         kwargs["batch_transform"] = batch_transform
     ckpts = CheckpointManager(cfg.checkpoint_dir)
     use_weighted = cfg.loss == "NewCrossEntropy"
-    import os
     if os.environ.get("MME_EVAL_ONLY"):
         # offline re-evaluation of a saved checkpoint — the capability of
         # the reference's EvaluationScripts/*_eval.ipynb notebooks
@@ -106,7 +116,11 @@ def run_classifier(cfg: ExperimentConfig,
                               use_weighted_loss=use_weighted,
                               resume=bool(os.environ.get("MME_RESUME")),
                               **kwargs)
+    dump_path = None
+    if os.environ.get("MME_DUMP_PREDICTIONS"):
+        # reference ResultsFromTest/{model}Test.txt artifact
+        dump_path = os.path.join(run_dir, f"{cfg.model}Test.txt")
     summary = evaluate(eval_step, state, test_ds, cfg, metric,
-                       callbacks=cb, **kwargs)
+                       callbacks=cb, dump_path=dump_path, **kwargs)
     print_log(summary)
     return summary

@@ -51,19 +51,26 @@ def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
                    class_weights: Optional[jax.Array],
                    batch_transform: BatchTransform,
                    rng: jax.Array, name: str,
-                   callbacks: LoopCallbacks) -> float:
+                   callbacks: LoopCallbacks,
+                   dump_path: Optional[str] = None) -> float:
+    """``dump_path``: append per-sample "label , pred" lines (the
+    reference's ResultsFromTest artifact,
+    ``SingleModels/train_model/image_training.py:23-28``)."""
     metric.reset_metrics()
     total_loss, steps = 0.0, 0
     order = np.arange(len(ds))
     for batch, labels, mask, _ in batches(ds, order, cfg.batch_size):
         rng, sub = jax.random.split(rng)
         batch = batch_transform(sub, batch)
-        loss, cm = eval_step(state.params, state.batch_stats, batch,
-                             jnp.asarray(labels), jnp.asarray(mask),
-                             class_weights)
+        loss, cm, preds = eval_step(state.params, state.batch_stats, batch,
+                                    jnp.asarray(labels), jnp.asarray(mask),
+                                    class_weights)
         total_loss += float(loss)
         metric.merge(cm)
         steps += 1
+        if dump_path is not None:
+            from mme_tpu.evals.dumps import dump_predictions
+            dump_predictions(dump_path, labels, np.asarray(preds), mask)
     avg = total_loss / max(steps, 1)
     d = metric.summary(name, include_confusion=True)
     d[f"{name}/loss"] = avg
@@ -194,10 +201,12 @@ def evaluate(eval_step, state: TrainState, test_ds: ArrayDataset,
              cfg: ExperimentConfig, metric: Metrics,
              batch_transform: BatchTransform = _identity_transform,
              rng: Optional[jax.Array] = None,
-             callbacks: LoopCallbacks = LoopCallbacks()) -> Dict[str, float]:
+             callbacks: LoopCallbacks = LoopCallbacks(),
+             dump_path: Optional[str] = None) -> Dict[str, float]:
     """Test pass with criterion=None semantics (``evaluate_tav``)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     _, summary = run_validation(eval_step, state, test_ds, cfg, metric, None,
-                                batch_transform, rng, "test", callbacks)
+                                batch_transform, rng, "test", callbacks,
+                                dump_path=dump_path)
     return summary

@@ -147,7 +147,9 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
 def make_eval_step(apply_fn: Callable, num_classes: int,
                    has_batch_stats: bool = False):
-    """Eval: loss (optional weights) + confusion matrix, deterministic."""
+    """Eval: loss (optional weights) + confusion matrix + per-sample preds
+    (for the reference's test-prediction dumps,
+    ``SingleModels/train_model/image_training.py:23-28``), deterministic."""
 
     def step(params: Any, batch_stats: Any, batch: Dict[str, jax.Array],
              labels: jax.Array, sample_mask: jax.Array,
@@ -159,6 +161,6 @@ def make_eval_step(apply_fn: Callable, num_classes: int,
         loss = cross_entropy(logits, labels, class_weights, sample_mask)
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, labels, num_classes, sample_mask)
-        return loss, cm
+        return loss, cm, preds
 
     return jax.jit(step)

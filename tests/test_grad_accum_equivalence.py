@@ -135,7 +135,8 @@ def test_loop_passes_unit_loss_scale_and_dialog_boundaries():
                 jnp.asarray(0.0))
 
     def fake_eval_step(params, batch_stats, batch, labels, mask, cw):
-        return jnp.asarray(1.0), jnp.zeros((3, 3), jnp.int32)
+        return (jnp.asarray(1.0), jnp.zeros((3, 3), jnp.int32),
+                jnp.zeros_like(labels))
 
     metric = Metrics(3, {0: "a", 1: "b", 2: "c"})
     train_network(fake_train_step, fake_eval_step, _CaptureState(),
@@ -173,7 +174,8 @@ def test_batch_gt_1_closes_virtual_batch_on_contained_boundary():
                 jnp.asarray(0.0))
 
     def fake_eval_step(params, batch_stats, batch, labels, mask, cw):
-        return jnp.asarray(1.0), jnp.zeros((3, 3), jnp.int32)
+        return (jnp.asarray(1.0), jnp.zeros((3, 3), jnp.int32),
+                jnp.zeros_like(labels))
 
     metric = Metrics(3, {0: "a", 1: "b", 2: "c"})
     train_network(fake_train_step, fake_eval_step, _CaptureState(),
