@@ -99,6 +99,24 @@ def run_classifier(cfg: ExperimentConfig,
     kwargs = {}
     if batch_transform is not None:
         kwargs["batch_transform"] = batch_transform
+
+    # multi-device: dp(×mp) mesh over all devices when the global batch
+    # splits evenly (cfg.mesh; MME_MESH=off disables). The reference's
+    # "distributed sampler on each GPU" intent (tav_nn.py:29-33), built.
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and os.environ.get("MME_MESH", "on") != "off":
+        mp = max(cfg.mesh.model, 1)
+        dp = cfg.mesh.data if cfg.mesh.data != -1 else n_dev // mp
+        if dp * mp <= n_dev and dp >= 1 and cfg.batch_size % dp == 0:
+            from mme_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(dp, mp,
+                             devices=jax.devices()[:dp * mp])
+            print(f"mesh: dp={dp} mp={mp} over {dp * mp} devices",
+                  flush=True)
+        else:
+            print(f"mesh disabled: batch_size={cfg.batch_size} not "
+                  f"divisible by dp={dp} (devices={n_dev})", flush=True)
     ckpts = CheckpointManager(cfg.checkpoint_dir)
     use_weighted = cfg.loss == "NewCrossEntropy"
     if os.environ.get("MME_EVAL_ONLY"):
@@ -107,6 +125,9 @@ def run_classifier(cfg: ExperimentConfig,
         assert ckpts.has_best(), (
             f"MME_EVAL_ONLY set but no checkpoint in {cfg.checkpoint_dir}")
         state, meta = ckpts.restore_best(state)
+        if mesh is not None:
+            from mme_tpu.parallel.sharding_rules import shard_state_tp
+            state = shard_state_tp(state, mesh)
         print_log({"restored": meta})
     else:
         state = train_network(train_step, eval_step, state, train_ds, val_ds,
@@ -115,12 +136,13 @@ def run_classifier(cfg: ExperimentConfig,
                               checkpoints=ckpts, callbacks=cb,
                               use_weighted_loss=use_weighted,
                               resume=bool(os.environ.get("MME_RESUME")),
-                              **kwargs)
+                              mesh=mesh, **kwargs)
     dump_path = None
     if os.environ.get("MME_DUMP_PREDICTIONS"):
         # reference ResultsFromTest/{model}Test.txt artifact
         dump_path = os.path.join(run_dir, f"{cfg.model}Test.txt")
     summary = evaluate(eval_step, state, test_ds, cfg, metric,
-                       callbacks=cb, dump_path=dump_path, **kwargs)
+                       callbacks=cb, dump_path=dump_path, mesh=mesh,
+                       **kwargs)
     print_log(summary)
     return summary

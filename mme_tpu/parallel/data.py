@@ -32,9 +32,10 @@ def host_slice(global_indices: np.ndarray,
 def global_batches(ds: ArrayDataset, order: np.ndarray, global_batch: int,
                    mesh: Mesh, axis: str = "dp"
                    ) -> Iterator[Tuple[Dict[str, jax.Array], jax.Array,
-                                       jax.Array]]:
-    """Yield dp-sharded (batch, labels, sample_mask) global arrays built
-    from each process's local rows."""
+                                       jax.Array, np.ndarray]]:
+    """Yield dp-sharded (batch, labels, sample_mask, host_indices) global
+    arrays built from each process's local rows. ``host_indices`` stays a
+    host numpy array (the loop's dialog-accumulation bookkeeping)."""
     sharding = NamedSharding(mesh, P(axis))
     pc = jax.process_count()
     local = global_batch // pc
@@ -53,4 +54,5 @@ def global_batches(ds: ArrayDataset, order: np.ndarray, global_batch: int,
             {k: put(v) for k, v in local_batch.items()},
             put(labels[sl] if pc > 1 else labels),
             put(mask[sl] if pc > 1 else mask),
+            idx,
         )

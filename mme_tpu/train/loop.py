@@ -46,31 +46,45 @@ def _identity_transform(rng, batch):
     return batch
 
 
+def _batch_iter(ds: ArrayDataset, order: np.ndarray, batch_size: int,
+                mesh) -> Any:
+    """Host-gather batches, dp-sharded over the mesh when one is given
+    (parallel/data.py — the reference's never-built distributed sampler)."""
+    if mesh is None:
+        for batch, labels, mask, idx in batches(ds, order, batch_size):
+            yield (batch, jnp.asarray(labels), jnp.asarray(mask), idx)
+    else:
+        from mme_tpu.parallel.data import global_batches
+        yield from global_batches(ds, order, batch_size, mesh)
+
+
 def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
                    cfg: ExperimentConfig, metric: Metrics,
                    class_weights: Optional[jax.Array],
                    batch_transform: BatchTransform,
                    rng: jax.Array, name: str,
                    callbacks: LoopCallbacks,
-                   dump_path: Optional[str] = None) -> float:
+                   dump_path: Optional[str] = None,
+                   mesh=None) -> float:
     """``dump_path``: append per-sample "label , pred" lines (the
     reference's ResultsFromTest artifact,
     ``SingleModels/train_model/image_training.py:23-28``)."""
     metric.reset_metrics()
     total_loss, steps = 0.0, 0
     order = np.arange(len(ds))
-    for batch, labels, mask, _ in batches(ds, order, cfg.batch_size):
+    for batch, labels, mask, _ in _batch_iter(ds, order, cfg.batch_size,
+                                              mesh):
         rng, sub = jax.random.split(rng)
         batch = batch_transform(sub, batch)
         loss, cm, preds = eval_step(state.params, state.batch_stats, batch,
-                                    jnp.asarray(labels), jnp.asarray(mask),
-                                    class_weights)
+                                    labels, mask, class_weights)
         total_loss += float(loss)
         metric.merge(cm)
         steps += 1
         if dump_path is not None:
             from mme_tpu.evals.dumps import dump_predictions
-            dump_predictions(dump_path, labels, np.asarray(preds), mask)
+            dump_predictions(dump_path, np.asarray(labels),
+                             np.asarray(preds), np.asarray(mask))
     avg = total_loss / max(steps, 1)
     d = metric.summary(name, include_confusion=True)
     d[f"{name}/loss"] = avg
@@ -89,7 +103,8 @@ def train_network(train_step, eval_step, state: TrainState,
                   checkpoints: Optional[CheckpointManager] = None,
                   callbacks: LoopCallbacks = LoopCallbacks(),
                   use_weighted_loss: bool = True,
-                  resume: bool = False) -> TrainState:
+                  resume: bool = False,
+                  mesh=None) -> TrainState:
     """Train with the full reference policy stack; returns the best state.
 
     ``resume=True`` warm-starts from the best checkpoint in
@@ -105,11 +120,18 @@ def train_network(train_step, eval_step, state: TrainState,
     if train_ds.dialog_ids is not None:
         accum = DialogAccumulator(dialog_counts(train_ds.dialog_ids))
 
+    def reshard(s: TrainState) -> TrainState:
+        if mesh is None:
+            return s
+        from mme_tpu.parallel.sharding_rules import shard_state_tp
+        return shard_state_tp(s, mesh)
+
     if checkpoints is None:
         checkpoints = CheckpointManager(cfg.checkpoint_dir)
     if resume and checkpoints.has_best():
         state, meta = checkpoints.restore_best(state)
         prev_val_loss = float(meta.get("val_loss", prev_val_loss))
+    state = reshard(state)
 
     for epoch in range(cfg.epoch):
         order = epoch_order(host_rng, epoch, cfg.epoch_switch,
@@ -127,7 +149,7 @@ def train_network(train_step, eval_step, state: TrainState,
         epoch_broken = False
         t0 = time.time()
         for bi, (batch, labels, mask, idx) in enumerate(
-                batches(train_ds, order, cfg.batch_size)):
+                _batch_iter(train_ds, order, cfg.batch_size, mesh)):
             if use_dialog_accum:
                 # Odd epochs run in sequential order, so batch position ==
                 # dataset index. A "virtual batch" closes when any sample in
@@ -173,7 +195,7 @@ def train_network(train_step, eval_step, state: TrainState,
                 rng, sub = jax.random.split(rng)
                 val_loss, _ = run_validation(
                     eval_step, state, val_ds, cfg, metric, step_weights,
-                    batch_transform, sub, "val", callbacks)
+                    batch_transform, sub, "val", callbacks, mesh=mesh)
                 if val_loss < prev_val_loss:
                     patience_iter = 0
                     prev_val_loss = val_loss
@@ -189,6 +211,7 @@ def train_network(train_step, eval_step, state: TrainState,
         # best-checkpoint reload each epoch (train_model/tav_train.py:143)
         if checkpoints.has_best():
             state, _meta = checkpoints.restore_best(state)
+            state = reshard(state)
         if epoch_broken or patience_iter >= cfg.patience:
             break
         if accum is not None:
@@ -202,11 +225,12 @@ def evaluate(eval_step, state: TrainState, test_ds: ArrayDataset,
              batch_transform: BatchTransform = _identity_transform,
              rng: Optional[jax.Array] = None,
              callbacks: LoopCallbacks = LoopCallbacks(),
-             dump_path: Optional[str] = None) -> Dict[str, float]:
+             dump_path: Optional[str] = None,
+             mesh=None) -> Dict[str, float]:
     """Test pass with criterion=None semantics (``evaluate_tav``)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     _, summary = run_validation(eval_step, state, test_ds, cfg, metric, None,
                                 batch_transform, rng, "test", callbacks,
-                                dump_path=dump_path)
+                                dump_path=dump_path, mesh=mesh)
     return summary
