@@ -62,8 +62,8 @@ def run_classifier(cfg: ExperimentConfig,
                    batch_transform=None,
                    batch_stats=None,
                    trainable_mask=None,
-                   rng_names: Tuple[str, ...] = ("dropout",)
-                   ) -> Dict[str, float]:
+                   rng_names: Tuple[str, ...] = ("dropout",),
+                   batch_iter=None) -> Dict[str, float]:
     """The generic runModel: wire optimizer/steps/metrics/loop and train."""
     num_classes = cfg.output_dim
     id2label = label_names(cfg.dataset, cfg.label_task, num_classes)
@@ -105,7 +105,11 @@ def run_classifier(cfg: ExperimentConfig,
     # "distributed sampler on each GPU" intent (tav_nn.py:29-33), built.
     mesh = None
     n_dev = len(jax.devices())
-    if n_dev > 1 and os.environ.get("MME_MESH", "on") != "off":
+    if batch_iter is not None:
+        if n_dev > 1:
+            print("mesh disabled: length-bucketed batching active",
+                  flush=True)
+    elif n_dev > 1 and os.environ.get("MME_MESH", "on") != "off":
         mp = max(cfg.mesh.model, 1)
         dp = cfg.mesh.data if cfg.mesh.data != -1 else n_dev // mp
         if dp * mp <= n_dev and dp >= 1 and cfg.batch_size % dp == 0:
@@ -136,13 +140,13 @@ def run_classifier(cfg: ExperimentConfig,
                               checkpoints=ckpts, callbacks=cb,
                               use_weighted_loss=use_weighted,
                               resume=bool(os.environ.get("MME_RESUME")),
-                              mesh=mesh, **kwargs)
+                              mesh=mesh, batch_iter=batch_iter, **kwargs)
     dump_path = None
     if os.environ.get("MME_DUMP_PREDICTIONS"):
         # reference ResultsFromTest/{model}Test.txt artifact
         dump_path = os.path.join(run_dir, f"{cfg.model}Test.txt")
     summary = evaluate(eval_step, state, test_ds, cfg, metric,
                        callbacks=cb, dump_path=dump_path, mesh=mesh,
-                       **kwargs)
+                       batch_iter=batch_iter, **kwargs)
     print_log(summary)
     return summary

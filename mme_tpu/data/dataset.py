@@ -56,6 +56,41 @@ def batches(ds: ArrayDataset, order: np.ndarray, batch_size: int
         yield batch, labels, mask, idx
 
 
+class BucketedBatchIter:
+    """Pluggable train-loop batch iterator doing length bucketing.
+
+    Wraps :func:`bucketed_batches` behind the 4-tuple protocol the loop
+    expects, and exposes ``epoch_len`` so the loop's end-of-epoch bookkeeping
+    stays exact (per-bucket tails make the batch count larger than
+    ``ceil(n/batch)``). One compiled step per bucket bound — a handful of
+    shapes instead of the reference's per-batch dynamic pad
+    (``models/tav.py:228``) or a single wasteful max-length pad."""
+
+    def __init__(self, bucket_bounds: Tuple[int, ...],
+                 mask_key: str = "audio_mask",
+                 length_keys: Tuple[str, ...] = ("waveform", "audio_mask")):
+        self.bucket_bounds = tuple(sorted(bucket_bounds))
+        self.mask_key = mask_key
+        self.length_keys = length_keys
+
+    def _lengths(self, ds: ArrayDataset) -> np.ndarray:
+        return np.asarray(ds.features[self.mask_key]).sum(axis=1)
+
+    def epoch_len(self, ds: ArrayDataset, order: np.ndarray,
+                  batch_size: int) -> int:
+        bucket_of = np.searchsorted(self.bucket_bounds,
+                                    self._lengths(ds)[order])
+        counts = np.bincount(bucket_of, minlength=len(self.bucket_bounds))
+        return int(sum(int(np.ceil(c / batch_size))
+                       for c in counts if c > 0))
+
+    def __call__(self, ds: ArrayDataset, order: np.ndarray, batch_size: int):
+        for batch, labels, mask, idx, _bound in bucketed_batches(
+                ds, order, batch_size, self._lengths(ds),
+                self.bucket_bounds, self.length_keys):
+            yield batch, labels, mask, idx
+
+
 def bucketed_batches(ds: ArrayDataset, order: np.ndarray, batch_size: int,
                      sample_lengths: np.ndarray,
                      bucket_bounds: Tuple[int, ...],

@@ -47,10 +47,16 @@ def _identity_transform(rng, batch):
 
 
 def _batch_iter(ds: ArrayDataset, order: np.ndarray, batch_size: int,
-                mesh) -> Any:
+                mesh, batch_iter=None) -> Any:
     """Host-gather batches, dp-sharded over the mesh when one is given
-    (parallel/data.py — the reference's never-built distributed sampler)."""
-    if mesh is None:
+    (parallel/data.py — the reference's never-built distributed sampler).
+    ``batch_iter`` plugs in a custom iterator (length bucketing,
+    data/dataset.py::BucketedBatchIter)."""
+    if batch_iter is not None:
+        assert mesh is None, "custom batch_iter + mesh not supported yet"
+        for batch, labels, mask, idx in batch_iter(ds, order, batch_size):
+            yield (batch, jnp.asarray(labels), jnp.asarray(mask), idx)
+    elif mesh is None:
         for batch, labels, mask, idx in batches(ds, order, batch_size):
             yield (batch, jnp.asarray(labels), jnp.asarray(mask), idx)
     else:
@@ -65,7 +71,7 @@ def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
                    rng: jax.Array, name: str,
                    callbacks: LoopCallbacks,
                    dump_path: Optional[str] = None,
-                   mesh=None) -> float:
+                   mesh=None, batch_iter=None) -> float:
     """``dump_path``: append per-sample "label , pred" lines (the
     reference's ResultsFromTest artifact,
     ``SingleModels/train_model/image_training.py:23-28``)."""
@@ -73,7 +79,7 @@ def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
     total_loss, steps = 0.0, 0
     order = np.arange(len(ds))
     for batch, labels, mask, _ in _batch_iter(ds, order, cfg.batch_size,
-                                              mesh):
+                                              mesh, batch_iter):
         rng, sub = jax.random.split(rng)
         batch = batch_transform(sub, batch)
         loss, cm, preds = eval_step(state.params, state.batch_stats, batch,
@@ -104,7 +110,7 @@ def train_network(train_step, eval_step, state: TrainState,
                   callbacks: LoopCallbacks = LoopCallbacks(),
                   use_weighted_loss: bool = True,
                   resume: bool = False,
-                  mesh=None) -> TrainState:
+                  mesh=None, batch_iter=None) -> TrainState:
     """Train with the full reference policy stack; returns the best state.
 
     ``resume=True`` warm-starts from the best checkpoint in
@@ -145,11 +151,15 @@ def train_network(train_step, eval_step, state: TrainState,
             step_weights = jnp.ones_like(cw)
 
         total_loss, steps_done = 0.0, 0
-        iters = int(np.ceil(len(order) / cfg.batch_size))
+        if batch_iter is not None and hasattr(batch_iter, "epoch_len"):
+            iters = batch_iter.epoch_len(train_ds, order, cfg.batch_size)
+        else:
+            iters = int(np.ceil(len(order) / cfg.batch_size))
         epoch_broken = False
         t0 = time.time()
         for bi, (batch, labels, mask, idx) in enumerate(
-                _batch_iter(train_ds, order, cfg.batch_size, mesh)):
+                _batch_iter(train_ds, order, cfg.batch_size, mesh,
+                            batch_iter)):
             if use_dialog_accum:
                 # Odd epochs run in sequential order, so batch position ==
                 # dataset index. A "virtual batch" closes when any sample in
@@ -195,7 +205,8 @@ def train_network(train_step, eval_step, state: TrainState,
                 rng, sub = jax.random.split(rng)
                 val_loss, _ = run_validation(
                     eval_step, state, val_ds, cfg, metric, step_weights,
-                    batch_transform, sub, "val", callbacks, mesh=mesh)
+                    batch_transform, sub, "val", callbacks, mesh=mesh,
+                    batch_iter=batch_iter)
                 if val_loss < prev_val_loss:
                     patience_iter = 0
                     prev_val_loss = val_loss
@@ -226,11 +237,12 @@ def evaluate(eval_step, state: TrainState, test_ds: ArrayDataset,
              rng: Optional[jax.Array] = None,
              callbacks: LoopCallbacks = LoopCallbacks(),
              dump_path: Optional[str] = None,
-             mesh=None) -> Dict[str, float]:
+             mesh=None, batch_iter=None) -> Dict[str, float]:
     """Test pass with criterion=None semantics (``evaluate_tav``)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     _, summary = run_validation(eval_step, state, test_ds, cfg, metric, None,
                                 batch_transform, rng, "test", callbacks,
-                                dump_path=dump_path, mesh=mesh)
+                                dump_path=dump_path, mesh=mesh,
+                                batch_iter=batch_iter)
     return summary

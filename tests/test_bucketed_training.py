@@ -1,0 +1,97 @@
+"""Length-bucketed batching wired into the train loop (audio path).
+
+Round-1 gap: bucketed_batches existed but nothing used it — every real run
+padded to the 160k-sample cap. Now BucketedBatchIter plugs into
+train_network/evaluate and the audio CLI builds it by default.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mme_tpu.core.config import ExperimentConfig
+from mme_tpu.data.dataset import ArrayDataset, BucketedBatchIter
+from mme_tpu.evals.metrics import Metrics
+from mme_tpu.train.loop import evaluate, train_network
+from mme_tpu.train.steps import TrainState, make_eval_step, make_optimizer, \
+    make_train_step
+
+
+def _audio_ds(n, max_len=64, seed=0):
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(8, max_len + 1, n)
+    wave = rng.randn(n, max_len).astype(np.float32)
+    mask = (np.arange(max_len)[None, :] < lengths[:, None]).astype(np.int32)
+    wave = wave * mask
+    labels = (lengths > max_len // 2).astype(np.int64)  # learnable signal
+    return ArrayDataset({"waveform": wave, "audio_mask": mask}, labels)
+
+
+def test_bucketed_epoch_visits_every_sample_once_with_correct_masks():
+    ds = _audio_ds(37, max_len=64)
+    it = BucketedBatchIter((16, 32, 64))
+    order = np.arange(len(ds))
+    seen = []
+    n_batches = 0
+    for batch, labels, mask, idx in it(ds, order, batch_size=4):
+        n_batches += 1
+        real = np.asarray(mask).astype(bool)
+        seen += list(np.asarray(idx)[real])
+        w, m = batch["waveform"], batch["audio_mask"]
+        assert w.shape == m.shape and w.shape[1] in (16, 32, 64)
+        # every real row's true length fits the bucket, mask is intact
+        true_len = np.asarray(ds.features["audio_mask"])[idx].sum(1)
+        assert (true_len[real] <= w.shape[1]).all()
+        np.testing.assert_array_equal(
+            m.sum(1)[real], true_len[real])
+        # sliced waveform content matches the source rows
+        np.testing.assert_array_equal(
+            w, np.asarray(ds.features["waveform"])[idx][:, :w.shape[1]])
+    assert sorted(seen) == list(range(37))  # each sample exactly once
+    assert n_batches == it.epoch_len(ds, order, 4)
+
+
+def test_loop_trains_with_bucketed_iter(tmp_path):
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, batch, *, deterministic=True):
+            m = batch["audio_mask"].astype(jnp.float32)
+            # masked mean + normalized true length: the label is a pure
+            # function of the mask, so correctness of bucket slicing is
+            # exactly what decides accuracy here
+            mean = (batch["waveform"] * m).sum(1, keepdims=True) \
+                / jnp.maximum(m.sum(1, keepdims=True), 1.0)
+            feats = jnp.concatenate(
+                [mean, m.sum(1, keepdims=True) / 64.0], axis=1)
+            return nn.Dense(2)(feats)
+
+    model = M()
+    train_ds, val_ds, test_ds = (_audio_ds(64, seed=0), _audio_ds(16, seed=1),
+                                 _audio_ds(16, seed=2))
+    cfg = ExperimentConfig(epoch=6, batch_size=8, learning_rate=2e-1,
+                           output_dim=2, log_val=100, patience=50,
+                           checkpoint_dir=str(tmp_path / "ck"))
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: jnp.asarray(v[:1])
+                         for k, v in train_ds.features.items()})["params"]
+
+    def apply_fn(variables, batch, deterministic=True, rngs=None,
+                 mutable=None):
+        return model.apply(variables, batch, deterministic=deterministic)
+
+    tx = make_optimizer(lambda s: cfg.learning_rate, 0.0, 1.0)
+    state = TrainState.create(params, tx)
+    train_step = make_train_step(apply_fn, tx, num_classes=2)
+    eval_step = make_eval_step(apply_fn, num_classes=2)
+    metric = Metrics(2, {0: "short", 1: "long"})
+    it = BucketedBatchIter((16, 32, 64))
+    state = train_network(train_step, eval_step, state, train_ds, val_ds,
+                          cfg, metric, np.ones(2, np.float32),
+                          np.ones(64, np.float32), jax.random.PRNGKey(0),
+                          batch_iter=it)
+    summary = evaluate(eval_step, state, test_ds, cfg, metric, batch_iter=it)
+    # the mask-length signal is trivially learnable → bucketing kept masks
+    # correct end-to-end
+    assert summary["test/acc"] > 0.8, summary
