@@ -14,8 +14,9 @@ frame into packed ``ArrayDataset``s:
   ``models/tav.py:228``);
 - video: Katna keyframe JPEG directories via PIL (the reference's
   ``getKatna`` path, ``models/tav.py:123-160``), zero-padded to 16 frames,
-  ImageNet-normalized; raw .mp4 decode requires an external decoder and is
-  gated.
+  ImageNet-normalized; raw video decode (``videoMAE_features``,
+  ``models/tav.py:51-121``) via data/videodec.py — timings-clipped uniform
+  subsample, done once offline instead of per batch.
 
 Splits: the ``split`` column when present (``tav_nn.py:146-163``), else a
 seeded stratified split (``SingleModels/audio_nn.py:109-121``). Filters:
@@ -244,8 +245,8 @@ def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
                       video_size: int = 224, tokenizer=None,
                       keyframe_glob: Optional[str] = None) -> ArrayDataset:
     """Triple-modal records. Video comes from keyframe dirs
-    (``keyframe_glob``.format(row) → jpg glob); raw mp4 needs an external
-    decoder and raises with guidance."""
+    (``keyframe_glob``.format(row) → jpg glob) or, when the frame has a
+    video-path column, from raw video decode (timings + speaker crop)."""
     ids, tmask = tokenize_texts(df[cfg.text_col].tolist(), cfg.text_max_len,
                                 tokenizer)
     wave, amask = load_audio_bucket(df[cfg.audio_col].tolist(),
@@ -253,23 +254,31 @@ def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
     n = len(df)
     video = np.zeros((n, video_frames, video_size, video_size, 3),
                      np.float32)
+    from mme_tpu.data.videodec import decode_video_frames, speaker_crop_box
     if keyframe_glob is not None:
         for i, (_, row) in enumerate(df.iterrows()):
-            speaker = row.get("speaker", None)
-            crop = None
-            if speaker is True:
-                crop = (120, 2, 245, 355)    # IEMOCAP left speaker
-            elif speaker is False:
-                crop = (120, 362, 245, 355)  # IEMOCAP right speaker
-            video[i] = load_keyframes(keyframe_glob.format(**row),
+            crop = speaker_crop_box(row.get("speaker", None))
+            ctx = dict(row)
+            if cfg.video_col in row:
+                # '{name}' = video basename, the Katna folder-name contract
+                # (cli/keyframes.py; reference Katna_Proc.py:41-50)
+                ctx.setdefault("name", os.path.splitext(
+                    os.path.basename(str(row[cfg.video_col])))[0])
+            video[i] = load_keyframes(keyframe_glob.format(**ctx),
                                       video_frames, video_size, crop)
-    else:
-        vids = df[cfg.video_col].tolist() if cfg.video_col in df.columns else []
-        if vids and str(vids[0]).endswith(".mp4"):
-            raise NotImplementedError(
-                "raw .mp4 decode is not available in this environment; "
-                "pre-extract Katna keyframes (reference run_scripts/"
-                "Katna_Proc.py) and pass keyframe_glob")
+    elif cfg.video_col in df.columns:
+        # raw video decode (reference per-batch videoMAE_features,
+        # models/tav.py:51-121) moved offline to record-build time:
+        # timings-clipped uniform 16-frame subsample + speaker crop
+        for i, (_, row) in enumerate(df.iterrows()):
+            path = row.get(cfg.video_col, None)
+            if path is None or not str(path).endswith(
+                    (".mp4", ".avi", ".mov", ".mkv", ".webm")):
+                continue
+            video[i] = decode_video_frames(
+                str(path), video_frames, video_size,
+                timings=row.get("timings", None),
+                crop_box=speaker_crop_box(row.get("speaker", None)))
     labels, _ = labels_to_ids(df[cfg.label_col].values)
     dialogs = (df[cfg.dialog_col].values
                if cfg.dialog_col in df.columns else None)
