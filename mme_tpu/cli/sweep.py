@@ -2,10 +2,17 @@
 (reference ``run_slurm/*.sh``).
 
     python -m mme_tpu.cli.sweep hyper.yaml --entry tav_nn --trials 8
+    python -m mme_tpu.cli.sweep hyper.yaml --trials 8 --workers 4 \
+        --pin_env JAX_VISIBLE_DEVICES    # one agent per device
 
 Reads the reference's sweep YAML (core/sweep.py), runs each trial through
 the chosen entry point's main(), and reports the best trial by the sweep
-metric.
+metric. ``--workers N`` reproduces the reference's one-``wandb agent``-per-
+GPU parallelism (``run_slurm/meld_multi.txt:1-2``, GNU ``parallel`` with
+``CUDA_VISIBLE_DEVICES=i``) as N subprocesses partitioning one global trial
+sequence (worker w runs trials w, w+N, ...); ``--pin_env NAME`` sets
+``NAME=<worker-id>`` in each worker's environment, the TPU-host analogue of
+the reference's per-agent ``CUDA_VISIBLE_DEVICES``.
 """
 
 from __future__ import annotations
@@ -13,9 +20,13 @@ from __future__ import annotations
 import argparse
 import importlib
 import json
+import os
+import subprocess
+import sys
+import tempfile
 
 
-def main(argv=None):
+def _parse(argv):
     p = argparse.ArgumentParser("mme_tpu sweep agent")
     p.add_argument("yaml", help="sweep config (reference format)")
     p.add_argument("--entry", default="tav_nn",
@@ -24,12 +35,79 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset", default=None,
                    help="override dataset (e.g. synthetic)")
-    args = p.parse_args(argv)
+    p.add_argument("--workers", type=int, default=1,
+                   help="parallel agent processes (1 = in-process)")
+    p.add_argument("--pin_env", default=None,
+                   help="env var set to the worker id in each worker "
+                        "(device pinning, e.g. JAX_VISIBLE_DEVICES)")
+    p.add_argument("--trial_offset", type=int, default=0,
+                   help="first global trial index this agent runs")
+    p.add_argument("--stride", type=int, default=1,
+                   help="global-trial-index stride between this agent's "
+                        "trials")
+    p.add_argument("--results", default=None,
+                   help="JSONL path for per-trial results (worker mode)")
+    return p.parse_args(argv)
+
+
+def _launch_workers(args):
+    """Spawn one agent subprocess per worker and merge their results."""
+    from mme_tpu.core.sweep import SweepConfig, TrialResult, best_of
+
+    cfg = SweepConfig.from_yaml(args.yaml)
+    workers = max(1, args.workers)
+    procs, files = [], []
+    tmpdir = tempfile.mkdtemp(prefix="mme_sweep_")
+    for w in range(workers):
+        n_w = len(range(w, args.trials, workers))
+        if n_w == 0:
+            continue
+        res = os.path.join(tmpdir, f"worker_{w}.jsonl")
+        files.append(res)
+        cmd = [sys.executable, "-m", "mme_tpu.cli.sweep", args.yaml,
+               "--entry", args.entry, "--trials", str(n_w),
+               "--seed", str(args.seed),
+               "--trial_offset", str(args.trial_offset + w),
+               "--stride", str(args.stride * workers),
+               "--results", res]
+        if args.dataset:
+            cmd += ["--dataset", args.dataset]
+        env = dict(os.environ)
+        env["MME_SWEEP_WORKER"] = str(w)
+        if args.pin_env:
+            env[args.pin_env] = str(w)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(cmd, env=env))
+    rcs = [p.wait() for p in procs]
+    if any(rcs):
+        raise RuntimeError(f"sweep worker(s) failed: rc={rcs}")
+
+    results = []
+    for res in files:
+        with open(res) as f:
+            for line in f:
+                rec = json.loads(line)
+                results.append(TrialResult(rec["params"], rec["metrics"]))
+    assert results, "no trial results collected"
+    best = best_of(results, cfg.metric_name, cfg.metric_goal)
+    print(json.dumps({"best_params": best.params,
+                      cfg.metric_name: best.metrics.get(cfg.metric_name),
+                      "trials": len(results), "workers": workers}))
+    return best
+
+
+def main(argv=None):
+    args = _parse(argv)
+    if args.workers > 1:
+        return _launch_workers(args)
 
     from mme_tpu.core.sweep import SweepConfig, run_sweep
 
     cfg = SweepConfig.from_yaml(args.yaml)
     entry = importlib.import_module(f"mme_tpu.cli.{args.entry}")
+    results_f = open(args.results, "a") if args.results else None
 
     def trial(params):
         argv_trial = []
@@ -41,11 +119,19 @@ def main(argv=None):
         # sweep metrics key on val/loss; the entry returns the test summary —
         # map the metric name onto whatever split it carries
         name = cfg.metric_name.replace("val/", "test/")
-        return {cfg.metric_name: summary.get(cfg.metric_name,
-                                             summary.get(name, 0.0)),
-                **summary}
+        metrics = {cfg.metric_name: summary.get(cfg.metric_name,
+                                                summary.get(name, 0.0)),
+                   **summary}
+        if results_f is not None:
+            results_f.write(json.dumps({"params": params,
+                                        "metrics": metrics}) + "\n")
+            results_f.flush()
+        return metrics
 
-    best = run_sweep(cfg, trial, args.trials, args.seed)
+    best = run_sweep(cfg, trial, args.trials, args.seed,
+                     trial_offset=args.trial_offset, stride=args.stride)
+    if results_f is not None:
+        results_f.close()
     print(json.dumps({"best_params": best.params,
                       cfg.metric_name: best.metrics.get(cfg.metric_name)}))
     return best

@@ -9,9 +9,13 @@ adapter parses the same YAMLs and drives trials in-process — grid and random
 exactly; ``bayes`` maps to random search (the reference's Bayesian layer
 lives in the external wandb service, not in its code).
 
-Trial parallelism across hosts (the GNU-parallel-per-GPU pattern,
-``run_slurm/meld_multi.txt``) becomes: run one sweep process per TPU host,
-seeded by ``trial_offset``.
+Trial parallelism (the GNU-parallel one-agent-per-GPU pattern,
+``run_slurm/meld_multi.txt:1-2``) becomes a deterministic partition of one
+global trial sequence: worker ``w`` of ``N`` runs trials
+``w, w+N, w+2N, ...`` via ``trial_offset``/``stride`` — the union over
+workers is exactly the single-process sequence, so results are
+scheduling-independent. ``cli/sweep.py --workers N`` spawns the worker
+processes and merges their JSONL results.
 """
 
 from __future__ import annotations
@@ -69,7 +73,12 @@ def _sample_param(rng: np.random.RandomState, spec: Dict[str, Any]) -> Any:
 
 
 def iter_trials(cfg: SweepConfig, num_trials: int, seed: int = 0,
-                trial_offset: int = 0) -> Iterator[Dict[str, Any]]:
+                trial_offset: int = 0, stride: int = 1
+                ) -> Iterator[Dict[str, Any]]:
+    """Trials ``trial_offset, trial_offset+stride, ...`` (``num_trials`` of
+    them) of the global sequence defined by ``seed``. Random trials are
+    keyed on the trial INDEX, so disjoint (offset, stride) partitions tile
+    the identical single-process sequence."""
     if cfg.method == "grid":
         keys = list(cfg.parameters)
         grids = []
@@ -78,12 +87,13 @@ def iter_trials(cfg: SweepConfig, num_trials: int, seed: int = 0,
             grids.append(spec["values"] if "values" in spec
                          else [spec["value"]])
         combos = itertools.islice(itertools.product(*grids), trial_offset,
-                                  trial_offset + num_trials)
-        for combo in combos:
+                                  None, stride)
+        for combo in itertools.islice(combos, num_trials):
             yield dict(zip(keys, combo))
     else:  # random / bayes→random
-        rng = np.random.RandomState(seed + trial_offset)
-        for _ in range(num_trials):
+        for k_i in range(num_trials):
+            i = trial_offset + k_i * stride
+            rng = np.random.RandomState((seed * 1000003 + i) & 0x7FFFFFFF)
             yield {k: _sample_param(rng, spec)
                    for k, spec in cfg.parameters.items()}
 
@@ -94,14 +104,24 @@ class TrialResult:
     metrics: Dict[str, float]
 
 
+def best_of(results: List[TrialResult], metric_name: str,
+            metric_goal: str) -> TrialResult:
+    sign = -1.0 if metric_goal == "minimize" else 1.0
+    return max(results,
+               key=lambda r: sign * r.metrics.get(metric_name,
+                                                  float("-inf") * sign))
+
+
 def run_sweep(cfg: SweepConfig, trial_fn: Callable[[Dict[str, Any]],
                                                    Dict[str, float]],
               num_trials: int, seed: int = 0,
-              log: Callable[[str], None] = print) -> TrialResult:
+              log: Callable[[str], None] = print,
+              trial_offset: int = 0, stride: int = 1) -> TrialResult:
     """Run trials, return the best by the sweep metric."""
     best: Optional[TrialResult] = None
     sign = -1.0 if cfg.metric_goal == "minimize" else 1.0
-    for i, params in enumerate(iter_trials(cfg, num_trials, seed)):
+    for i, params in enumerate(iter_trials(cfg, num_trials, seed,
+                                           trial_offset, stride)):
         metrics = trial_fn(params)
         r = TrialResult(params, metrics)
         score = sign * metrics.get(cfg.metric_name, float("-inf") * sign)
