@@ -1,8 +1,15 @@
 """Video classifier entry point (reference ``SingleModels/visual_nn.py``):
 ``-m ResNet`` → slow_r50-style 3-D ResNet with proj→768 head; anything else →
-the scratch Conv3D classifier (``SingleModels/models/visual.py``)."""
+the scratch Conv3D classifier (``SingleModels/models/visual.py``). Real
+datasets come from the reference pickle contract (video paths decoded with
+timings + IEMOCAP speaker crop, or keyframe dirs via MME_KEYFRAME_GLOB);
+``--dataset synthetic`` keeps the smoke-scale path. slow_r50 backbone
+weights load from MME_PRETRAINED when present (the reference's torch.hub
+load, ``SingleModels/models/visual.py:152``)."""
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,9 +34,10 @@ def main(argv=None):
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)
 
-    frames, size = (8, 64) if cfg.dataset == "synthetic" else (8, 224)
+    tiny = cfg.dataset == "synthetic" or bool(os.environ.get("MME_TINY"))
+    frames, size = (8, 64) if tiny else (16, 224)
+    stages = (1, 1, 1, 1) if tiny else (3, 4, 6, 3)
     if cfg.model.lower() == "resnet":
-        stages = (1, 1, 1, 1) if cfg.dataset == "synthetic" else (3, 4, 6, 3)
         model = SlowR50(output_dim=cfg.output_dim, stage_sizes=stages)
         has_bn = True
     else:
@@ -45,15 +53,34 @@ def main(argv=None):
         return model.apply(variables, batch["video"],
                            deterministic=deterministic, rngs=rngs)
 
-    n_train = 64 if cfg.dataset == "synthetic" else 9989
-    mk = lambda n, s: _synthetic_video(n, frames, size, cfg.output_dim, s)
-    train_ds, val_ds, test_ds = mk(n_train, 0), mk(16, 1), mk(16, 2)
+    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
+    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+        import pandas as pd
+        from mme_tpu.data.records import (PickleDatasetConfig,
+                                          build_video_dataset,
+                                          split_dataframe)
+        df = pd.read_pickle(pkl)
+        rcfg = PickleDatasetConfig(label_col=cfg.label_task, seed=cfg.seed)
+        kf = os.environ.get("MME_KEYFRAME_GLOB")
+        train_ds, val_ds, test_ds = (
+            build_video_dataset(x, rcfg, frames, size, keyframe_glob=kf)
+            for x in split_dataframe(df, rcfg))
+    else:
+        mk = lambda n, s: _synthetic_video(n, frames, size, cfg.output_dim, s)
+        train_ds, val_ds, test_ds = mk(64, 0), mk(16, 1), mk(16, 2)
 
     example = jnp.asarray(train_ds.features["video"][:1])
     if has_bn:
         variables = model.init(jax.random.PRNGKey(cfg.seed), example,
                                train=False)
         params, batch_stats = variables["params"], variables["batch_stats"]
+        from mme_tpu.models.pretrained import load_slow_r50, pretrained_root
+        root = pretrained_root()
+        if root:
+            params, batch_stats, ok = load_slow_r50(params, batch_stats,
+                                                    root, stages)
+            if ok:
+                print("loaded pretrained slow_r50 backbone", flush=True)
     else:
         params = model.init(jax.random.PRNGKey(cfg.seed), example)["params"]
         batch_stats = None

@@ -241,6 +241,36 @@ def build_audio_dataset(df, cfg: PickleDatasetConfig) -> ArrayDataset:
     return ArrayDataset({"waveform": wave, "audio_mask": mask}, labels)
 
 
+def build_video_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
+                        video_size: int = 224,
+                        keyframe_glob: Optional[str] = None) -> ArrayDataset:
+    """Video-only records (reference ``SingleModels/visual_nn.py`` +
+    ``VisualDataset``, ``utils/data_loaders.py:208-231``): decode raw video
+    (timings + speaker crop) or ingest keyframe JPEG dirs."""
+    from mme_tpu.data.videodec import decode_video_frames, speaker_crop_box
+
+    n = len(df)
+    video = np.zeros((n, video_frames, video_size, video_size, 3),
+                     np.float32)
+    for i, (_, row) in enumerate(df.iterrows()):
+        crop = speaker_crop_box(row.get("speaker", None))
+        if keyframe_glob is not None:
+            ctx = dict(row)
+            if cfg.video_col in row:
+                ctx.setdefault("name", os.path.splitext(
+                    os.path.basename(str(row[cfg.video_col])))[0])
+            video[i] = load_keyframes(keyframe_glob.format(**ctx),
+                                      video_frames, video_size, crop)
+        elif cfg.video_col in row:
+            video[i] = decode_video_frames(
+                str(row[cfg.video_col]), video_frames, video_size,
+                timings=row.get("timings", None), crop_box=crop)
+    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    dialogs = (df[cfg.dialog_col].values
+               if cfg.dialog_col in df.columns else None)
+    return ArrayDataset({"video": video}, labels, dialog_ids=dialogs)
+
+
 def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
                       video_size: int = 224, tokenizer=None,
                       keyframe_glob: Optional[str] = None) -> ArrayDataset:

@@ -347,3 +347,50 @@ def convert_visualbert_pretraining(model_or_sd: Any, spec: Any) -> Dict[str, Any
             sd, "cls.predictions.transform.LayerNorm"),
         "decoder_bias": sd["cls.predictions.bias"],
     }
+
+
+def _conv3d(sd: Mapping[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    """torch Conv3d [out, in, kt, kh, kw] → flax [kt, kh, kw, in, out]."""
+    return {"kernel": sd[key].transpose(2, 3, 4, 1, 0)}
+
+
+def convert_slow_r50(model_or_sd: Any,
+                     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+                     ) -> Dict[str, Any]:
+    """pytorchvideo ``slow_r50`` (torch.hub, the reference's video backbone
+    at ``SingleModels/models/visual.py:152``) → our ``SlowR50``
+    {params, batch_stats} backbone tree.
+
+    Key layout: ``blocks.0.{conv,norm}`` stem; ``blocks.{s}.res_blocks.{b}``
+    stages with ``branch2.{conv,norm}_{a,b,c}`` and first-block
+    ``branch1_{conv,norm}`` shortcuts; ``blocks.5.proj`` kinetics head
+    (not mapped — the reference replaces the head with its own projection).
+    Accepts a raw state_dict or the zoo checkpoint's ``model_state``
+    nesting.
+    """
+    sd = state_dict_np(model_or_sd)
+    if any(k.startswith("model_state.") for k in sd):
+        sd = {k[len("model_state."):]: v for k, v in sd.items()
+              if k.startswith("model_state.")}
+    params: Dict[str, Any] = {"stem_conv": _conv3d(sd, "blocks.0.conv.weight")}
+    stats: Dict[str, Any] = {}
+    params["stem_bn"], stats["stem_bn"] = _batchnorm(sd, "blocks.0.norm")
+    for s, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            pre = f"blocks.{s + 1}.res_blocks.{b}"
+            name = f"layer{s + 1}_{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for our, theirs in (("conv1", "conv_a"), ("conv2", "conv_b"),
+                                ("conv3", "conv_c")):
+                bp[our] = _conv3d(sd, f"{pre}.branch2.{theirs}.weight")
+            for our, theirs in (("bn1", "norm_a"), ("bn2", "norm_b"),
+                                ("bn3", "norm_c")):
+                bp[our], bs[our] = _batchnorm(sd, f"{pre}.branch2.{theirs}")
+            if f"{pre}.branch1_conv.weight" in sd:
+                bp["down_conv"] = _conv3d(sd, f"{pre}.branch1_conv.weight")
+                bp["down_bn"], bs["down_bn"] = _batchnorm(
+                    sd, f"{pre}.branch1_norm")
+            params[name] = bp
+            stats[name] = bs
+    return {"params": params, "batch_stats": stats}

@@ -240,3 +240,46 @@ def load_tav(params: Dict[str, Any], spec: Any, root: str
         loaded.append(VIDEO_MAE)
 
     return params, loaded
+
+
+SLOW_R50 = "slow_r50"
+
+
+def load_slow_r50(params: Dict[str, Any], batch_stats: Dict[str, Any],
+                  root: str, stage_sizes: Sequence[int] = (3, 4, 6, 3)
+                  ) -> Tuple[Dict[str, Any], Dict[str, Any], bool]:
+    """SlowR50 backbone weights from a local torch.hub/pytorchvideo
+    checkpoint (the reference loads ``torch.hub 'slow_r50'`` at
+    ``SingleModels/models/visual.py:152``). Accepts ``slow_r50.pt[h]`` /
+    ``SLOW_8x8_R50.pyth`` files or a ``slow_r50/`` directory under
+    ``root``; proj head + classifier stay fresh (the reference replaces
+    the head too)."""
+    import glob as globlib
+
+    from mme_tpu.models.hf_import import convert_slow_r50
+
+    cands: List[str] = []
+    for name in (SLOW_R50, "SLOW_8x8_R50"):
+        cands += [os.path.join(root, name + ext)
+                  for ext in (".pt", ".pth", ".pyth", ".bin")]
+        d = os.path.join(root, name)
+        if os.path.isdir(d):
+            cands += sorted(globlib.glob(os.path.join(d, "*.p*")))
+    path = next((c for c in cands if os.path.isfile(c)), None)
+    if path is None:
+        return params, batch_stats, False
+    import torch
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(raw, dict) and "model_state" in raw:
+        raw = raw["model_state"]
+    conv = convert_slow_r50(raw, stage_sizes)
+    merged_p, missing, _ = merge_params(params, conv["params"])
+    bad = [m for m in missing if "proj" not in m and "classifier" not in m]
+    if bad:
+        raise ValueError(f"slow_r50 load left leaves uninitialized: "
+                         f"{bad[:8]}")
+    merged_s, missing_s, _ = merge_params(batch_stats, conv["batch_stats"])
+    if missing_s:
+        raise ValueError(f"slow_r50 load left batch stats uninitialized: "
+                         f"{missing_s[:8]}")
+    return merged_p, merged_s, True

@@ -207,7 +207,8 @@ class SlowR50(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, video: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, video: jax.Array, *, train: bool = False,
+                 features_only: bool = False) -> jax.Array:
         # video: [B, T, H, W, C]
         y = nn.Conv(64, (1, 7, 7), strides=(1, 2, 2),
                     padding=[(0, 0), (3, 3), (3, 3)], use_bias=False,
@@ -226,6 +227,8 @@ class SlowR50(nn.Module):
                                  downsample=(b == 0), dtype=self.dtype,
                                  name=f"layer{stage + 1}_{b}")(y, train=train)
         pooled = y.mean(axis=(1, 2, 3))
+        if features_only:
+            return pooled
         proj = nn.Dense(self.proj_dim, dtype=self.dtype, name="proj")(pooled)
         proj = nn.relu(proj)
         return nn.Dense(self.output_dim, dtype=self.dtype,
