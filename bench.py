@@ -68,6 +68,10 @@ def main():
     # stack's activations are the HBM hog; encoder activations fit
     import dataclasses as _dc
     spec = _dc.replace(spec, audio=_dc.replace(spec.audio, remat_conv=True))
+    if os.environ.get("BENCH_SHARE", "1") == "1":
+        # one conv frontend for PreFormer + audio tower (ablation: the
+        # duplicate conv stack is ~5% of the step)
+        spec = _dc.replace(spec, share_audio_frontend=True)
     remat_mode = os.environ.get("BENCH_REMAT", "conv")  # conv|full
     full_remat = remat_mode == "full"
     cfg = ExperimentConfig(batch_size=batch_size, learning_rate=5e-6,

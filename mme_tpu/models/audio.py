@@ -184,15 +184,17 @@ class Wav2Vec2Model(nn.Module):
     @nn.compact
     def __call__(self, waveform: jax.Array,
                  attention_mask: Optional[jax.Array] = None,
-                 *, deterministic: bool = True
+                 *, deterministic: bool = True,
+                 features: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
         s = self.spec
-        # remat the conv stack with the encoders: its [B, T/5, 512]
-        # activations over ~1e5-sample waveforms dominate HBM otherwise
-        fe_cls = (nn.remat(ConvFeatureExtractor)
-                  if (s.encoder.remat or s.remat_conv)
-                  else ConvFeatureExtractor)
-        features = fe_cls(s, name="feature_extractor")(waveform)
+        if features is None:
+            # remat the conv stack with the encoders: its [B, T/5, 512]
+            # activations over ~1e5-sample waveforms dominate HBM otherwise
+            fe_cls = (nn.remat(ConvFeatureExtractor)
+                      if (s.encoder.remat or s.remat_conv)
+                      else ConvFeatureExtractor)
+            features = fe_cls(s, name="feature_extractor")(waveform)
         feat_mask = None
         if attention_mask is not None:
             feat_mask = feature_vector_attention_mask(

@@ -67,6 +67,13 @@ class TAVSpec:
     dropout: float = 0.5
     learn_pos_embeddings: bool = True
     video_keep_k: int = 104   # fused-tower visible patches (≈1568/15, §ops.video)
+    # One conv feature extractor shared between PreFormer and the full audio
+    # tower. The reference loads the SAME checkpoint into two separate conv
+    # stacks and runs both every step (models/tav.py:259+352 vs :455+476);
+    # sharing ties the weights (a documented deviation) and halves the conv
+    # FLOPs + activation traffic. Off by default for reference-faithful
+    # parameterization; bench/CLI turn it on.
+    share_audio_frontend: bool = False
 
     def with_compute_dtype(self, dtype: Any) -> "TAVSpec":
         """Mixed precision: params stay fp32, activations/matmuls in
@@ -139,7 +146,8 @@ class PreFormer(nn.Module):
     def __call__(self, input_ids: jax.Array, text_mask: jax.Array,
                  waveform: jax.Array, audio_mask: jax.Array,
                  video: jax.Array, video_keep: jax.Array,
-                 *, deterministic: bool = True
+                 *, deterministic: bool = True,
+                 audio_features: Optional[jax.Array] = None
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         s = self.spec
         # text embeddings (RoBERTa embedding stage, models/tav.py:349);
@@ -149,8 +157,10 @@ class PreFormer(nn.Module):
         if input_ids is not None:
             t = self.text_embeddings(input_ids, deterministic=deterministic)
 
-        # audio embedding stage (models/tav.py:352-363)
-        feats = self.feature_extractor(waveform)
+        # audio embedding stage (models/tav.py:352-363); precomputed
+        # features arrive from the shared frontend (TAVSpec.share_audio_frontend)
+        feats = (audio_features if audio_features is not None
+                 else self.feature_extractor(waveform))
         feat_mask = feature_vector_attention_mask(
             feats.shape[1], audio_mask, s.audio.conv_kernels,
             s.audio.conv_strides)
@@ -217,14 +227,16 @@ class TAVForMAE(nn.Module):
                  video: jax.Array, video_keep: jax.Array,
                  fused: jax.Array, type_ids: jax.Array,
                  fused_keep: jax.Array,
-                 *, deterministic: bool = True) -> jax.Array:
+                 *, deterministic: bool = True,
+                 audio_features: Optional[jax.Array] = None) -> jax.Array:
         s = self.spec
         av = fused + self.modality_embedding(type_ids)
 
         # (c) full audio tower → mean-pool (models/tav.py:476-478; the
         # reference's unmasked mean is replaced by a correct masked mean)
         aud_hidden, _, aud_feat_mask = self.wav2vec2(
-            waveform, audio_mask, deterministic=deterministic)
+            waveform, audio_mask, deterministic=deterministic,
+            features=audio_features)
         aud = masked_mean_pool(self.wav_to_hidden(aud_hidden), aud_feat_mask)
 
         # (d) full video tower over the complement of the fused keep-mask
@@ -263,19 +275,28 @@ class TAVModel(nn.Module):
     spec: TAVSpec
 
     def setup(self):
-        self.preformer = PreFormer(self.spec)
-        self.model = TAVForMAE(self.spec)
+        s = self.spec
+        self.preformer = PreFormer(s)
+        self.model = TAVForMAE(s)
+        if s.share_audio_frontend:
+            fe_cls = (nn.remat(ConvFeatureExtractor)
+                      if (s.audio.encoder.remat or s.audio.remat_conv)
+                      else ConvFeatureExtractor)
+            self.audio_frontend = fe_cls(s.audio)
 
     def __call__(self, batch: Dict[str, jax.Array],
                  *, deterministic: bool = True) -> jax.Array:
+        feats = (self.audio_frontend(batch["waveform"])
+                 if self.spec.share_audio_frontend else None)
         fused, type_ids, fused_keep = self.preformer(
             batch["input_ids"], batch["text_mask"], batch["waveform"],
             batch["audio_mask"], batch["video"], batch["video_keep"],
-            deterministic=deterministic)
+            deterministic=deterministic, audio_features=feats)
         return self.model(
             batch["input_ids"], batch["text_mask"], batch["waveform"],
             batch["audio_mask"], batch["video"], batch["video_keep"],
-            fused, type_ids, fused_keep, deterministic=deterministic)
+            fused, type_ids, fused_keep, deterministic=deterministic,
+            audio_features=feats)
 
 
 class TAVFormer(nn.Module):

@@ -213,9 +213,15 @@ def load_tav(params: Dict[str, Any], spec: Any, root: str
         params = _inject(params, ("model", "wav2vec2"), conv, (), AUDIO_XLSR)
         # PreFormer audio embedding stage reuses the same tower's pieces
         # (models/tav.py:352-363: feature_extractor, feature_projection,
-        # pos_conv_embed, encoder.layer_norm, masked_spec_embed)
-        params = _inject(params, ("preformer", "feature_extractor"),
-                         conv["feature_extractor"], (), AUDIO_XLSR)
+        # pos_conv_embed, encoder.layer_norm, masked_spec_embed); with
+        # TAVSpec.share_audio_frontend the conv stack lives once at the
+        # model root instead of per tower
+        if "audio_frontend" in params:
+            params = _inject(params, ("audio_frontend",),
+                             conv["feature_extractor"], (), AUDIO_XLSR)
+        if "feature_extractor" in params.get("preformer", {}):
+            params = _inject(params, ("preformer", "feature_extractor"),
+                             conv["feature_extractor"], (), AUDIO_XLSR)
         params = _inject(params, ("preformer", "feature_projection"),
                          conv["feature_projection"], (), AUDIO_XLSR)
         params = _inject(params, ("preformer", "pos_conv"),
