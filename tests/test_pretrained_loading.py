@@ -135,6 +135,24 @@ def test_tav_full_size_roundtrip_shapes(pretrained_dir):
     assert all(not isinstance(x, np.ndarray) for x in leaves)
 
 
+def test_tav_full_size_roundtrip_shared_frontend(pretrained_dir):
+    """Same, with TAVSpec.share_audio_frontend: the single conv stack at
+    the model root receives the checkpoint's feature extractor."""
+    import dataclasses as dc
+    spec = dc.replace(TAVSpec(output_dim=7), share_audio_frontend=True)
+    model = TAVModel(spec)
+    from mme_tpu.train.build_tav import example_tav_batch
+    batch = example_tav_batch(spec, 1, 70, 16000)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch))["params"]
+    assert "audio_frontend" in shapes
+    assert "feature_extractor" not in shapes["preformer"]
+    loaded, names = load_tav(shapes, spec, pretrained_dir)
+    assert AUDIO_XLSR in names
+    k = loaded["audio_frontend"]["conv_0"]["kernel"]
+    assert isinstance(k, np.ndarray) and k.shape[-1] == 512
+
+
 def test_merge_params_rejects_shape_mismatch():
     with pytest.raises(ValueError, match="shape mismatch"):
         merge_params({"a": np.zeros((2, 2))}, {"a": np.zeros((3, 2))})
