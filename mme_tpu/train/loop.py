@@ -54,11 +54,12 @@ def _batch_iter(ds: ArrayDataset, order: np.ndarray, batch_size: int,
     data/dataset.py::BucketedBatchIter)."""
     if batch_iter is not None:
         assert mesh is None, "custom batch_iter + mesh not supported yet"
-        for batch, labels, mask, idx in batch_iter(ds, order, batch_size):
-            yield (batch, jnp.asarray(labels), jnp.asarray(mask), idx)
+        yield from batch_iter(ds, order, batch_size)
     elif mesh is None:
-        for batch, labels, mask, idx in batches(ds, order, batch_size):
-            yield (batch, jnp.asarray(labels), jnp.asarray(mask), idx)
+        # numpy passes straight into the jitted step (async transfer);
+        # keeping it off-device lets the host read masks for dialog
+        # bookkeeping without a device sync
+        yield from batches(ds, order, batch_size)
     else:
         from mme_tpu.parallel.data import global_batches
         yield from global_batches(ds, order, batch_size, mesh)
@@ -76,7 +77,7 @@ def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
     reference's ResultsFromTest artifact,
     ``SingleModels/train_model/image_training.py:23-28``)."""
     metric.reset_metrics()
-    total_loss, steps = 0.0, 0
+    loss_acc, cm_acc, steps = None, None, 0
     order = np.arange(len(ds))
     for batch, labels, mask, _ in _batch_iter(ds, order, cfg.batch_size,
                                               mesh, batch_iter):
@@ -84,14 +85,18 @@ def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
         batch = batch_transform(sub, batch)
         loss, cm, preds = eval_step(state.params, state.batch_stats, batch,
                                     labels, mask, class_weights)
-        total_loss += float(loss)
-        metric.merge(cm)
+        # accumulate on device — a float()/merge here would sync the host
+        # into every dispatch
+        loss_acc = loss if loss_acc is None else loss_acc + loss
+        cm_acc = cm if cm_acc is None else cm_acc + cm
         steps += 1
         if dump_path is not None:
             from mme_tpu.evals.dumps import dump_predictions
             dump_predictions(dump_path, np.asarray(labels),
                              np.asarray(preds), np.asarray(mask))
-    avg = total_loss / max(steps, 1)
+    if cm_acc is not None:
+        metric.merge(cm_acc)
+    avg = (float(loss_acc) if loss_acc is not None else 0.0) / max(steps, 1)
     d = metric.summary(name, include_confusion=True)
     d[f"{name}/loss"] = avg
     callbacks.log(d)
@@ -150,7 +155,7 @@ def train_network(train_step, eval_step, state: TrainState,
         else:
             step_weights = jnp.ones_like(cw)
 
-        total_loss, steps_done = 0.0, 0
+        loss_acc, cm_acc, steps_done = None, None, 0
         if batch_iter is not None and hasattr(batch_iter, "epoch_len"):
             iters = batch_iter.epoch_len(train_ds, order, cfg.batch_size)
         else:
@@ -175,7 +180,7 @@ def train_network(train_step, eval_step, state: TrainState,
                 # batch_size>1 each micro-batch carries equal weight in the
                 # mean — well-defined, exact at batch_size=1.
                 apply_update = False
-                for j in range(int(mask.sum())):
+                for j in range(int(np.asarray(mask).sum())):
                     _size, boundary = accum.step(bi * cfg.batch_size + j)
                     apply_update = apply_update or boundary
                 apply_update = apply_update or (bi + 1 == iters)
@@ -186,16 +191,21 @@ def train_network(train_step, eval_step, state: TrainState,
             rng, sub = jax.random.split(rng)
             tbatch = batch_transform(sub, batch)
             state, loss, cm, grad_norm = train_step(
-                state, tbatch, jnp.asarray(labels), jnp.asarray(mask),
+                state, tbatch, labels, mask,
                 step_weights, jnp.asarray(loss_scale, jnp.float32),
                 jnp.asarray(apply_update), rng)
-            total_loss += float(loss)
-            metric.merge(cm)
+            # accumulate on device; a float()/merge here would block the
+            # host on every dispatch (deadly through the remote tunnel)
+            loss_acc = loss if loss_acc is None else loss_acc + loss
+            cm_acc = cm if cm_acc is None else cm_acc + cm
             steps_done += 1
 
             if ((bi + 1) % cfg.log_val == 0) or (bi + 1 == iters):
+                if cm_acc is not None:
+                    metric.merge(cm_acc)
+                    cm_acc = None
                 d = metric.summary("train")
-                d["train/loss"] = total_loss / max(steps_done, 1)
+                d["train/loss"] = float(loss_acc) / max(steps_done, 1)
                 d["train/grad_norm"] = float(grad_norm)
                 d["train/steps_per_sec"] = steps_done / max(
                     time.time() - t0, 1e-9)
