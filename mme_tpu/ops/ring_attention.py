@@ -1,0 +1,89 @@
+"""Ring attention: sequence-parallel exact attention over a mesh axis.
+
+The reference has NO sequence parallelism (SURVEY.md §2.9, §5.7) — it copes
+with its ~2-3k-token fused sequences via length filters, batch-1 training
+and CPU offload. This is the TPU-native lift of that cap: shard the
+sequence dimension across chips, keep each chip's K/V block local, and
+rotate K/V blocks around the ring with ``ppermute`` while accumulating an
+online softmax (exactly the FlashAttention recurrence, distributed). After
+``n_shards`` hops every query block has attended to every key block —
+results are bitwise-independent of the ring layout up to fp reassociation.
+
+Communication rides the ICI neighbor links (ppermute), overlapping the next
+block transfer with the current block's matmuls under XLA's async
+collectives. Memory per chip: O(S/n · S/n) scores instead of O(S²).
+
+Use when a single chip can't hold the sequence (e.g. lifting the
+``audio_shape`` cap, SURVEY §5.7); below that scale, single-chip flash
+attention (ops/flash_attention.py) is faster.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+NEG_INF = -1e30
+
+
+def _ring_attention_local(q, k, v, kmask, *, axis_name: str, scale: float):
+    """Per-shard body. q: [B, H, Sq, D] (local query block), k/v:
+    [B, H, Sk, D] (local key block, rotated), kmask: [B, Sk] bool."""
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    qf = q.astype(jnp.float32) * scale
+    # derive the carry init from the sharded operand so shard_map's
+    # varying-manual-axes types match through the fori_loop
+    m = jnp.zeros_like(qf[..., :1]) + NEG_INF
+    l = jnp.zeros_like(qf[..., :1])
+    acc = jnp.zeros_like(qf)
+
+    def body(_, carry):
+        k_c, v_c, km_c, m, l, acc = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_c.astype(jnp.float32))
+        s = jnp.where(km_c[:, None, None, :], s, NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p,
+                                       v_c.astype(jnp.float32))
+        m = m_new
+        # rotate the K/V block (+mask) to the next chip on the ring
+        k_c = jax.lax.ppermute(k_c, axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        km_c = jax.lax.ppermute(km_c, axis_name, perm)
+        return k_c, v_c, km_c, m, l, acc
+
+    _, _, _, m, l, acc = jax.lax.fori_loop(
+        0, n, body, (k, v, kmask, m, l, acc))
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
+def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   mesh: Mesh, axis: str = "sp",
+                   key_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Exact attention with q/k/v sequence-sharded over ``mesh[axis]``.
+
+    q, k, v: [B, H, S, D] (global view; S must divide by the axis size).
+    key_mask: optional [B, S] bool/int, 1 = attend. Returns [B, H, S, D]
+    with the same sequence sharding as the inputs.
+    """
+    if key_mask is None:
+        key_mask = jnp.ones((q.shape[0], q.shape[2]), jnp.bool_)
+    key_mask = key_mask.astype(jnp.bool_)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    fn = shard_map(
+        functools.partial(_ring_attention_local, axis_name=axis,
+                          scale=scale),
+        mesh=mesh,
+        in_specs=(P(None, None, axis, None), P(None, None, axis, None),
+                  P(None, None, axis, None), P(None, axis)),
+        out_specs=P(None, None, axis, None))
+    return fn(q, k, v, key_mask)
