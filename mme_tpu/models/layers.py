@@ -142,7 +142,10 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
-                 *, deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True) -> jax.Array:
+        # NOTE: ``deterministic`` is positional (not kw-only) so the remat
+        # wrapper below can pin it via static_argnums — a traced bool would
+        # break flax Dropout's short-circuit under jax.checkpoint.
         s = self.spec
         ln = lambda name: nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
                                        param_dtype=s.param_dtype, name=name)
@@ -177,10 +180,11 @@ class TransformerEncoder(nn.Module):
         s = self.spec
         block_cls = EncoderBlock
         if s.remat:
-            block_cls = nn.remat(EncoderBlock, static_argnums=())
+            # static_argnums counts the checkpointed core_fn's args
+            # (scope, x, bias, deterministic) — pin the bool
+            block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
         for i in range(s.layers):
-            x = block_cls(s, name=f"layer_{i}")(
-                x, bias, deterministic=deterministic)
+            x = block_cls(s, name=f"layer_{i}")(x, bias, deterministic)
         if s.final_ln:
             x = nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
                              param_dtype=s.param_dtype, name="final_ln")(x)

@@ -56,3 +56,26 @@ def test_shared_frontend_receives_gradients_from_both_paths():
     gnorm = sum(float(jnp.abs(x).sum())
                 for x in jax.tree_util.tree_leaves(g["audio_frontend"]))
     assert gnorm > 0.0
+
+
+def test_full_remat_with_dropout_trains():
+    """Regression: encoder remat + dropout>0 + non-deterministic train step
+    (the remat wrapper must keep ``deterministic`` static — a traced bool
+    breaks flax Dropout under jax.checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    from mme_tpu.core.config import ExperimentConfig
+    from mme_tpu.train.build_tav import build_tav
+
+    spec = dc.replace(TAVSpec(output_dim=3).tiny(),
+                      share_audio_frontend=True)
+    cfg = ExperimentConfig(batch_size=2, text_max_len=16,
+                           audio_max_samples=2000)
+    batch = example_tav_batch(spec, 2, 16, 2000)
+    _m, state, train_step, _ = build_tav(spec, cfg, 10,
+                                         example_batch=batch, remat=True)
+    state, loss, _, _ = train_step(
+        state, batch, jnp.zeros((2,), jnp.int32), jnp.ones((2,), jnp.int32),
+        jnp.ones((3,), jnp.float32), jnp.asarray(1.0), jnp.asarray(True),
+        jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
