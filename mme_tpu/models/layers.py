@@ -51,6 +51,11 @@ class EncoderSpec:
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    # Sequence parallelism (SURVEY §5.7 lift): when both are set, attention
+    # runs as ring attention sharded over ``seq_mesh[seq_axis]``
+    # (ops/ring_attention.py) — for sequences one chip can't hold.
+    seq_mesh: Any = None
+    seq_axis: Optional[str] = None
 
 
 def activation(name: str) -> Callable[[jax.Array], jax.Array]:
@@ -108,7 +113,18 @@ class MultiHeadAttention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        out = dot_product_attention(q, k, v, bias)
+        if s.seq_mesh is not None and s.seq_axis is not None:
+            from mme_tpu.ops.ring_attention import ring_attention
+            key_mask = None
+            if bias is not None:
+                assert bias.ndim == 4 and bias.shape[1] == 1 \
+                    and bias.shape[2] == 1, \
+                    "ring attention supports key masks only"
+                key_mask = bias[:, 0, 0, :] > -1e4
+            out = ring_attention(q, k, v, s.seq_mesh, s.seq_axis,
+                                 key_mask=key_mask)
+        else:
+            out = dot_product_attention(q, k, v, bias)
         if s.attention_dropout > 0.0:
             # HF applies dropout on probs; as a capability we apply it on the
             # attention output (equivalent regularization, kernel-fusable).

@@ -32,8 +32,9 @@ DEFAULT_BLOCK_K = 512
 
 
 def _block_sizes(seq_q: int, seq_k: int):
-    bq = min(DEFAULT_BLOCK_Q, seq_q)
-    bk = min(DEFAULT_BLOCK_K, seq_k)
+    import os
+    bq = min(int(os.environ.get("MME_FLASH_BQ", DEFAULT_BLOCK_Q)), seq_q)
+    bk = min(int(os.environ.get("MME_FLASH_BK", DEFAULT_BLOCK_K)), seq_k)
     return bq, bk
 
 

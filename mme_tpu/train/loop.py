@@ -213,6 +213,12 @@ def train_network(train_step, eval_step, state: TrainState,
                 callbacks.log(d)
                 metric.reset_metrics()
                 rng, sub = jax.random.split(rng)
+                # DELIBERATE: validation loss uses the epoch's parity
+                # weights, so val/loss (the checkpoint-selection metric)
+                # alternates definition with the epoch — faithful to the
+                # reference's criterion(..., epoch) call
+                # (train_model/tav_train.py:129); documented, not an
+                # accident.
                 val_loss, _ = run_validation(
                     eval_step, state, val_ds, cfg, metric, step_weights,
                     batch_transform, sub, "val", callbacks, mesh=mesh,

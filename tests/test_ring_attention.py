@@ -73,3 +73,31 @@ def test_ring_gradients_match():
     g_full = jax.grad(lambda q_: jnp.sum(reference(q_, k, v) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_full),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_encoder_with_ring_attention_matches_dense():
+    """A real TransformerEncoder block with EncoderSpec.seq_mesh/seq_axis
+    (sequence-parallel attention) matches the single-device encoder with
+    identical params."""
+    from mme_tpu.models.layers import EncoderSpec, TransformerEncoder
+    from mme_tpu.ops.attention import additive_mask
+
+    mesh = sp_mesh(4)
+    rng = np.random.RandomState(3)
+    B, S, H = 2, 32, 16
+    spec = EncoderSpec(hidden=H, heads=2, layers=2, intermediate=32,
+                       ln_style="pre", ln_eps=1e-6)
+    sp_spec = __import__("dataclasses").replace(spec, seq_mesh=mesh,
+                                                seq_axis="sp")
+    x = jnp.asarray(rng.randn(B, S, H), jnp.float32)
+    keep = np.ones((B, S), np.int32)
+    keep[:, -5:] = 0
+    bias = additive_mask(jnp.asarray(keep))
+
+    dense = TransformerEncoder(spec)
+    params = dense.init(jax.random.PRNGKey(0), x, bias)["params"]
+    ring = TransformerEncoder(sp_spec)
+    out_d = dense.apply({"params": params}, x, bias)
+    out_r = ring.apply({"params": params}, x, bias)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_d),
+                               rtol=3e-5, atol=3e-5)
