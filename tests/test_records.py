@@ -101,9 +101,11 @@ def test_build_audio_dataset(frame):
     assert lens.min() >= 3000 and lens.max() <= 8000
 
 
-def test_build_tav_dataset_raises_on_mp4(frame):
+def test_build_tav_dataset_missing_mp4_raises(frame):
+    """mp4 decode is implemented (data/videodec.py); a missing file must
+    fail loudly, not silently produce zero frames."""
     cfg = PickleDatasetConfig(text_max_len=8, audio_max_samples=4000)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((IOError, NotImplementedError)):
         build_tav_dataset(frame, cfg, video_frames=2, video_size=16)
 
 
