@@ -63,7 +63,8 @@ def run_classifier(cfg: ExperimentConfig,
                    batch_stats=None,
                    trainable_mask=None,
                    rng_names: Tuple[str, ...] = ("dropout",),
-                   batch_iter=None) -> Dict[str, float]:
+                   batch_iter=None,
+                   has_aux_loss: bool = False) -> Dict[str, float]:
     """The generic runModel: wire optimizer/steps/metrics/loop and train."""
     num_classes = cfg.output_dim
     id2label = label_names(cfg.dataset, cfg.label_task, num_classes)
@@ -80,9 +81,10 @@ def run_classifier(cfg: ExperimentConfig,
     state = TrainState.create(init_params, tx, batch_stats=batch_stats)
     train_step = make_train_step(
         apply_fn, tx, num_classes=num_classes, rng_names=rng_names,
-        has_batch_stats=batch_stats is not None)
+        has_batch_stats=batch_stats is not None, has_aux_loss=has_aux_loss)
     eval_step = make_eval_step(apply_fn, num_classes=num_classes,
-                               has_batch_stats=batch_stats is not None)
+                               has_batch_stats=batch_stats is not None,
+                               has_aux_loss=has_aux_loss)
 
     # every run leaves a JSONL metrics trail next to its checkpoints (the
     # reference's wandb.log stream; MME_RUN_DIR overrides the location)

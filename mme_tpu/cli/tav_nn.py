@@ -47,9 +47,18 @@ def main(argv=None):
     # 'MAE_encoder' is its default)
     model_cls = FUSION_MODELS.get(cfg.model, FUSION_MODELS["MAE_encoder"])
     model = model_cls(spec)
+    is_moe = cfg.model == "TAVMoE"
 
     def apply_fn(variables, batch, deterministic=True, rngs=None,
                  mutable=None):
+        if is_moe:
+            # MoE trunk sows its load-balancing loss; collect it so the
+            # train step can add it to the CE term (has_aux_loss=True)
+            from mme_tpu.models.moe import collect_aux_loss
+            logits, inter = model.apply(
+                variables, batch, deterministic=deterministic, rngs=rngs,
+                mutable=["intermediates"])
+            return logits, collect_aux_loss(inter["intermediates"])
         return model.apply(variables, batch, deterministic=deterministic,
                            rngs=rngs)
 
@@ -98,7 +107,8 @@ def main(argv=None):
                           batch_transform=transform,
                           trainable_mask=modality_embedding_trainable_mask(
                               params, spec.learn_pos_embeddings),
-                          rng_names=("dropout", "spec_augment"))
+                          rng_names=("dropout", "spec_augment"),
+                          has_aux_loss=is_moe)
 
 
 if __name__ == "__main__":

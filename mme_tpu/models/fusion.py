@@ -398,10 +398,47 @@ class TAVForW2V2(nn.Module):
         return self.classifier(x)
 
 
+class TAVMoEFormer(nn.Module):
+    """Sparse-MoE fusion trunk (beyond-reference capability): the fused
+    sequence through a ``MoETransformerEncoder`` (every 2nd block's MLP is a
+    top-2 routed expert mixture, models/moe.py), mean-pool → LN →
+    Linear(hidden, C). Experts shard over an ``ep`` mesh axis when
+    ``moe.ep_axis`` is set. The router's load-balancing aux loss is sown;
+    train with ``make_train_step(..., has_aux_loss=True)`` and an apply_fn
+    that collects it (cli/tav_nn.py)."""
+
+    spec: TAVSpec
+    moe: Any = None  # MoESpec; default built in setup to avoid import cycle
+
+    def setup(self):
+        from mme_tpu.models.moe import MoESpec, MoETransformerEncoder
+        s = self.spec
+        moe = self.moe if self.moe is not None else MoESpec()
+        self.preformer = PreFormer(s)
+        self.modality_embedding = nn.Embed(3, s.hidden, dtype=s.fusion.dtype)
+        self.encoder = MoETransformerEncoder(s.fusion, moe)
+        self.norm = nn.LayerNorm(dtype=s.fusion.dtype)
+        self.dropout = nn.Dropout(rate=s.dropout)
+        self.classifier = nn.Dense(s.output_dim, dtype=s.fusion.dtype)
+
+    def __call__(self, batch: Dict[str, jax.Array],
+                 *, deterministic: bool = True) -> jax.Array:
+        fused, type_ids, keep = self.preformer(
+            batch["input_ids"], batch["text_mask"], batch["waveform"],
+            batch["audio_mask"], batch["video"], batch["video_keep"],
+            deterministic=deterministic)
+        x = fused + self.modality_embedding(type_ids)
+        x = self.encoder(x, additive_mask(keep), deterministic=deterministic)
+        x = self.norm(masked_mean_pool(x, keep))
+        x = self.dropout(x, deterministic=deterministic)
+        return self.classifier(x)
+
+
 FUSION_MODELS = {
     "MAE_encoder": TAVModel,        # reference default (tav_nn.py -m)
     "TAVForMAE": TAVModel,
     "TAVFormer": TAVFormer,
     "TAVForMAE2Tower": TAVForMAETwoTower,
     "TAVForW2V2": TAVForW2V2,
+    "TAVMoE": TAVMoEFormer,         # beyond-reference sparse-expert trunk
 }

@@ -73,11 +73,14 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     num_classes: int,
                     rng_names: Tuple[str, ...] = ("dropout",),
                     has_batch_stats: bool = False,
-                    donate: bool = True):
+                    donate: bool = True,
+                    has_aux_loss: bool = False):
     """Build the jitted train step.
 
     ``apply_fn(variables, batch, deterministic, rngs) -> logits`` (or
-    ``(logits, new_batch_stats)`` mutable when has_batch_stats).
+    ``(logits, new_batch_stats)`` mutable when has_batch_stats; or
+    ``(logits, aux_loss)`` when ``has_aux_loss`` — e.g. the MoE
+    load-balancing loss, added to the CE term before scaling).
     The returned step:
 
         state, loss, cm, grad_norm = step(
@@ -104,7 +107,11 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                 logits = apply_fn(variables, batch, deterministic=False,
                                   rngs=rngs)
                 mutated = None
+            aux = jnp.zeros((), jnp.float32)
+            if has_aux_loss:
+                logits, aux = logits
             loss = cross_entropy(logits, labels, class_weights, sample_mask)
+            loss = loss + aux
             return loss * loss_scale, (logits, mutated)
 
         (scaled_loss, (logits, mutated)), grads = jax.value_and_grad(
@@ -146,10 +153,13 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
 
 def make_eval_step(apply_fn: Callable, num_classes: int,
-                   has_batch_stats: bool = False):
+                   has_batch_stats: bool = False,
+                   has_aux_loss: bool = False):
     """Eval: loss (optional weights) + confusion matrix + per-sample preds
     (for the reference's test-prediction dumps,
-    ``SingleModels/train_model/image_training.py:23-28``), deterministic."""
+    ``SingleModels/train_model/image_training.py:23-28``), deterministic.
+    ``has_aux_loss``: apply returns (logits, aux); aux is a training
+    regularizer and is excluded from the eval/selection loss."""
 
     def step(params: Any, batch_stats: Any, batch: Dict[str, jax.Array],
              labels: jax.Array, sample_mask: jax.Array,
@@ -158,6 +168,8 @@ def make_eval_step(apply_fn: Callable, num_classes: int,
         if has_batch_stats:
             variables["batch_stats"] = batch_stats
         logits = apply_fn(variables, batch, deterministic=True, rngs=None)
+        if has_aux_loss:
+            logits, _ = logits
         loss = cross_entropy(logits, labels, class_weights, sample_mask)
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, labels, num_classes, sample_mask)

@@ -49,8 +49,33 @@ def test_registry_covers_reference_model_flags():
     # the reference -m values (tav_nn.py default 'MAE_encoder' and the
     # multi+late class names) all resolve
     for flag in ["MAE_encoder", "TAVForMAE", "TAVFormer", "TAVForMAE2Tower",
-                 "TAVForW2V2"]:
+                 "TAVForW2V2", "TAVMoE"]:
         assert flag in FUSION_MODELS
+
+
+def test_tav_moe_variant_forward_and_aux(tav_batch):
+    from mme_tpu.models.moe import collect_aux_loss
+    spec, batch = tav_batch
+    model = FUSION_MODELS["TAVMoE"](spec)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    logits, inter = model.apply(params, batch, mutable=["intermediates"])
+    assert logits.shape == (2, 7)
+    assert np.isfinite(np.asarray(logits)).all()
+    aux = collect_aux_loss(inter["intermediates"])
+    assert float(aux) > 0  # router load-balancing loss was sown
+
+
+def test_tav_moe_cli_smoke(tmp_path, monkeypatch):
+    """-m TAVMoE trains end-to-end (synthetic, tiny) with the aux loss
+    wired through the train step."""
+    monkeypatch.setenv("MME_TINY", "1")
+    monkeypatch.setenv("MME_RUN_DIR", str(tmp_path))
+    monkeypatch.delenv("MME_EVAL_ONLY", raising=False)
+    from mme_tpu.cli.tav_nn import main
+    summary = main(["--dataset", "synthetic", "--model", "TAVMoE",
+                    "--epoch", "1", "--batch_size", "8",
+                    "--output_dim", "7"])
+    assert np.isfinite(summary["test/loss"])
 
 
 @pytest.fixture(scope="module")
