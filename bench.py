@@ -72,8 +72,9 @@ def main():
         # one conv frontend for PreFormer + audio tower (ablation: the
         # duplicate conv stack is ~5% of the step)
         spec = _dc.replace(spec, share_audio_frontend=True)
-    remat_mode = os.environ.get("BENCH_REMAT", "conv")  # conv|full
-    full_remat = remat_mode == "full"
+    remat_mode = os.environ.get("BENCH_REMAT", "conv")  # conv|av|full
+    full_remat = (True if remat_mode == "full"
+                  else "av" if remat_mode == "av" else False)
     cfg = ExperimentConfig(batch_size=batch_size, learning_rate=5e-6,
                            text_max_len=text_len,
                            audio_max_samples=audio_len)

@@ -87,13 +87,20 @@ def modality_embedding_trainable_mask(params: Any, learn: bool):
 
 def build_tav(spec: TAVSpec, cfg: ExperimentConfig, steps_per_epoch: int,
               example_batch: Optional[Dict[str, jax.Array]] = None,
-              remat: bool = True
+              remat=True
               ) -> Tuple[TAVModel, TrainState, Any, Any]:
-    """Returns (model, state, train_step, eval_step)."""
+    """Returns (model, state, train_step, eval_step).
+
+    ``remat``: True → remat every encoder; ``"av"`` → remat only the audio
+    and video encoders (the activation hogs: 24 layers × ~300 frames and
+    12 layers × 1464 tokens) keeping text/fusion unremat'd; False → none.
+    The conv feature-extractor remat is independent (spec.audio.remat_conv).
+    """
     if remat:
+        av_only = remat == "av"
         spec = dataclasses.replace(
             spec,
-            text=dataclasses.replace(
+            text=spec.text if av_only else dataclasses.replace(
                 spec.text, encoder=dataclasses.replace(
                     spec.text.encoder, remat=True)),
             audio=dataclasses.replace(
@@ -102,7 +109,8 @@ def build_tav(spec: TAVSpec, cfg: ExperimentConfig, steps_per_epoch: int,
             video=dataclasses.replace(
                 spec.video, encoder=dataclasses.replace(
                     spec.video.encoder, remat=True)),
-            fusion=dataclasses.replace(spec.fusion, remat=True))
+            fusion=spec.fusion if av_only
+            else dataclasses.replace(spec.fusion, remat=True))
     model = TAVModel(spec)
     if example_batch is None:
         example_batch = example_tav_batch(spec, 1, cfg.text_max_len,
