@@ -151,4 +151,17 @@ def run_classifier(cfg: ExperimentConfig,
                        callbacks=cb, dump_path=dump_path, mesh=mesh,
                        batch_iter=batch_iter, **kwargs)
     print_log(summary)
+    predict_out = os.environ.get("MME_PREDICT_OUT")
+    if predict_out:
+        # serving-shaped prediction log over the test split (mme_tpu.serve):
+        # one padded fixed-shape jitted forward, JSONL rows out
+        from mme_tpu.serve import Predictor
+        predictor = Predictor(apply_fn, state.params,
+                              batch_size=cfg.batch_size,
+                              batch_stats=state.batch_stats)
+        with open(predict_out, "w") as fh:
+            for row in predictor.predict_dataset(
+                    test_ds, id2label, batch_transform=batch_transform):
+                fh.write(json.dumps(row) + "\n")
+        print(f"wrote serving predictions: {predict_out}", flush=True)
     return summary
