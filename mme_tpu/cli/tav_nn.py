@@ -74,7 +74,11 @@ def main(argv=None):
         rcfg = PickleDatasetConfig(label_col=cfg.label_task,
                                    text_max_len=text_len,
                                    audio_max_samples=audio_len,
-                                   seed=cfg.seed)
+                                   seed=cfg.seed,
+                                   # uint8 video transport: 4× smaller
+                                   # records + host→device copies; the
+                                   # batch transform normalizes on device
+                                   video_uint8=True)
         tok = get_tokenizer(
             None if spec.text.vocab_size != 50265 else
             "j-hartmann/emotion-english-distilroberta-base",

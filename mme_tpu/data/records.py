@@ -130,12 +130,16 @@ def load_audio_bucket(paths: Sequence[str], max_samples: int,
 
 
 def load_keyframes(dir_glob: str, num_frames: int = 16, size: int = 224,
-                   crop_box: Optional[Tuple[int, int, int, int]] = None
-                   ) -> np.ndarray:
+                   crop_box: Optional[Tuple[int, int, int, int]] = None,
+                   normalize: bool = True) -> np.ndarray:
     """Katna keyframe dir → [num_frames, size, size, 3] normalized floats,
     zero-padded like the reference (``models/tav.py:154-160``). ``crop_box``
     = (top, left, height, width) replicates the IEMOCAP speaker crop
-    (``utils/global_functions.py:101-112``)."""
+    (``utils/global_functions.py:101-112``).
+
+    ``normalize=False`` → raw uint8 frames: 4× smaller records and
+    host→device transfers; normalization then happens on device
+    (train/build_tav.py::make_video_keep_transform)."""
     import glob as globlib
 
     from PIL import Image
@@ -143,15 +147,19 @@ def load_keyframes(dir_glob: str, num_frames: int = 16, size: int = 224,
     frames = []
     for path in sorted(globlib.glob(dir_glob))[:num_frames]:
         img = Image.open(path).convert("RGB")
-        arr = np.asarray(img, np.float32) / 255.0
+        arr = np.asarray(img, np.uint8)
         if crop_box is not None:
             t, l, h, w = crop_box
             arr = arr[t:t + h, l:l + w]
-        img = Image.fromarray((arr * 255).astype(np.uint8)).resize(
-            (size, size))
-        arr = np.asarray(img, np.float32) / 255.0
-        frames.append((arr - IMAGENET_MEAN) / IMAGENET_STD)
-    out = np.zeros((num_frames, size, size, 3), np.float32)
+        arr = np.asarray(
+            Image.fromarray(arr).resize((size, size)), np.uint8)
+        if normalize:
+            frames.append((arr.astype(np.float32) / 255.0
+                           - IMAGENET_MEAN) / IMAGENET_STD)
+        else:
+            frames.append(arr)
+    dtype = np.float32 if normalize else np.uint8
+    out = np.zeros((num_frames, size, size, 3), dtype)
     if frames:
         out[:len(frames)] = np.stack(frames)
     return out
@@ -170,6 +178,9 @@ class PickleDatasetConfig:
     min_audio_shape: Optional[int] = None     # reference: 10000
     drop_labels: Sequence[str] = ()           # e.g. ("fear", "disgust")
     seed: int = 32
+    # store video as raw uint8 (4× smaller records + host→device traffic);
+    # ImageNet normalization then runs on device in the batch transform
+    video_uint8: bool = False
 
 
 def split_dataframe(df, cfg: PickleDatasetConfig):
@@ -282,8 +293,9 @@ def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
     wave, amask = load_audio_bucket(df[cfg.audio_col].tolist(),
                                     cfg.audio_max_samples)
     n = len(df)
+    norm = not cfg.video_uint8
     video = np.zeros((n, video_frames, video_size, video_size, 3),
-                     np.float32)
+                     np.float32 if norm else np.uint8)
     from mme_tpu.data.videodec import decode_video_frames, speaker_crop_box
     if keyframe_glob is not None:
         for i, (_, row) in enumerate(df.iterrows()):
@@ -295,7 +307,8 @@ def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
                 ctx.setdefault("name", os.path.splitext(
                     os.path.basename(str(row[cfg.video_col])))[0])
             video[i] = load_keyframes(keyframe_glob.format(**ctx),
-                                      video_frames, video_size, crop)
+                                      video_frames, video_size, crop,
+                                      normalize=norm)
     elif cfg.video_col in df.columns:
         # raw video decode (reference per-batch videoMAE_features,
         # models/tav.py:51-121) moved offline to record-build time:
@@ -308,7 +321,8 @@ def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
             video[i] = decode_video_frames(
                 str(path), video_frames, video_size,
                 timings=row.get("timings", None),
-                crop_box=speaker_crop_box(row.get("speaker", None)))
+                crop_box=speaker_crop_box(row.get("speaker", None)),
+                normalize=norm)
     labels, _ = labels_to_ids(df[cfg.label_col].values)
     dialogs = (df[cfg.dialog_col].values
                if cfg.dialog_col in df.columns else None)

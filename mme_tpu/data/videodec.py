@@ -90,9 +90,11 @@ def _read_frames(cap, wanted: Sequence[int]) -> dict:
 
 def decode_video_frames(path: str, num_frames: int = 16, size: int = 224,
                         timings=None,
-                        crop_box: Optional[Tuple[int, int, int, int]] = None
-                        ) -> np.ndarray:
-    """mp4 → [num_frames, size, size, 3] float32, ImageNet-normalized.
+                        crop_box: Optional[Tuple[int, int, int, int]] = None,
+                        normalize: bool = True) -> np.ndarray:
+    """mp4 → [num_frames, size, size, 3] float32, ImageNet-normalized
+    (``normalize=False`` → raw uint8: 4× smaller records/transfers,
+    normalization moves on-device — make_video_keep_transform).
 
     ``crop_box`` = (top, left, height, width), the IEMOCAP speaker crop
     (reference ``utils/global_functions.py:101-112`` applied at
@@ -123,7 +125,8 @@ def decode_video_frames(path: str, num_frames: int = 16, size: int = 224,
     finally:
         cap.release()
 
-    out = np.zeros((num_frames, size, size, 3), np.float32)
+    out = np.zeros((num_frames, size, size, 3),
+                   np.float32 if normalize else np.uint8)
     for j, i in enumerate(idx):
         frame = got.get(int(i))
         if frame is None:
@@ -135,7 +138,11 @@ def decode_video_frames(path: str, num_frames: int = 16, size: int = 224,
             if rgb.size == 0:
                 continue
         rgb = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_LINEAR)
-        out[j] = (rgb.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        if normalize:
+            out[j] = (rgb.astype(np.float32) / 255.0
+                      - IMAGENET_MEAN) / IMAGENET_STD
+        else:
+            out[j] = rgb
     return out
 
 

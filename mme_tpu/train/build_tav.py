@@ -47,17 +47,34 @@ def example_tav_batch(spec: TAVSpec, batch_size: int, text_len: int,
 
 
 def make_video_keep_transform(spec: TAVSpec, random_mask: bool = True):
-    """Per-batch visual keep-mask.
+    """Per-batch visual keep-mask + on-device video normalization.
 
     ``random_mask=True``: random balanced mask resampled every batch — the
     reference's collate behavior (``models/tav.py:207-217``).
     ``random_mask=False``: a fixed evenly-strided mask — the ``--mask``
     flag's off position (the reference parses the flag but never reads it,
-    ``tav_nn.py:78``; here it genuinely gates the masking augmentations)."""
+    ``tav_nn.py:78``; here it genuinely gates the masking augmentations).
+
+    uint8 video (records built with ``video_uint8=True``) is ImageNet-
+    normalized here on device — the record/transfer stays 4× smaller than
+    fp32. Padding frames (all-zero uint8) map back to exact 0.0 to match
+    the fp32 path's zero-pad semantics (reference pads AFTER normalization,
+    ``models/tav.py:154-160``; an all-black real frame is indistinguishable
+    from padding in uint8 and is also zeroed — a documented edge)."""
+    from mme_tpu.data.records import IMAGENET_MEAN, IMAGENET_STD
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
     def transform(rng: jax.Array, batch: Dict[str, Any]) -> Dict[str, Any]:
         b = dict(batch)
         n = len(next(iter(batch.values())))
+        v = b.get("video")
+        if v is not None and jnp.asarray(v).dtype == jnp.uint8:
+            v = jnp.asarray(v)
+            valid = (v.reshape(v.shape[0], v.shape[1], -1).max(axis=-1)
+                     > 0)
+            vf = (v.astype(jnp.float32) / 255.0 - mean) / std
+            b["video"] = vf * valid[:, :, None, None, None]
         if random_mask:
             b["video_keep"] = balanced_keep_mask(
                 rng, n, spec.video.num_patches, spec.video_keep_k)

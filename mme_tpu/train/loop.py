@@ -52,17 +52,25 @@ def _batch_iter(ds: ArrayDataset, order: np.ndarray, batch_size: int,
     (parallel/data.py — the reference's never-built distributed sampler).
     ``batch_iter`` plugs in a custom iterator (length bucketing,
     data/dataset.py::BucketedBatchIter)."""
+    import os
+
+    prefetch = os.environ.get("MME_PREFETCH", "1") != "0"
     if batch_iter is not None:
         assert mesh is None, "custom batch_iter + mesh not supported yet"
-        yield from batch_iter(ds, order, batch_size)
+        src = batch_iter(ds, order, batch_size)
     elif mesh is None:
-        # numpy passes straight into the jitted step (async transfer);
-        # keeping it off-device lets the host read masks for dialog
-        # bookkeeping without a device sync
-        yield from batches(ds, order, batch_size)
+        # feature arrays prefetched to device from a producer thread
+        # (data/prefetch.py) so the host→device copy overlaps compute;
+        # labels/mask stay host numpy for dialog bookkeeping
+        src = batches(ds, order, batch_size)
     else:
         from mme_tpu.parallel.data import global_batches
-        yield from global_batches(ds, order, batch_size, mesh)
+        src = global_batches(ds, order, batch_size, mesh)
+        prefetch = False  # already device-resident + sharded
+    if prefetch:
+        from mme_tpu.data.prefetch import prefetch_batches
+        src = prefetch_batches(src)
+    yield from src
 
 
 def run_validation(eval_step, state: TrainState, ds: ArrayDataset,
