@@ -49,6 +49,12 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # BENCH_PRNG=rbg switches dropout/SpecAugment mask generation to the
+    # TPU hardware RNG (threefry is a long VPU op chain; the train step
+    # draws ~200M random bits/step across ~24 dropout sites)
+    prng = os.environ.get("BENCH_PRNG")
+    if prng:
+        jax.config.update("jax_default_prng_impl", prng)
 
     from mme_tpu.core.config import ExperimentConfig
     from mme_tpu.models.fusion import TAVSpec
