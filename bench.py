@@ -78,6 +78,19 @@ def main():
         # one conv frontend for PreFormer + audio tower (ablation: the
         # duplicate conv stack is ~5% of the step)
         spec = _dc.replace(spec, share_audio_frontend=True)
+    if os.environ.get("BENCH_SCAN", "0") == "1":
+        # scan-over-layers: ~L× faster compiles (first compile through the
+        # remote tunnel is minutes); step-time impact measured vs unrolled
+        def scan_enc(e):
+            return _dc.replace(e, scan_layers=True)
+        spec = _dc.replace(
+            spec,
+            text=_dc.replace(spec.text, encoder=scan_enc(spec.text.encoder)),
+            audio=_dc.replace(spec.audio,
+                              encoder=scan_enc(spec.audio.encoder)),
+            video=_dc.replace(spec.video,
+                              encoder=scan_enc(spec.video.encoder)),
+            fusion=scan_enc(spec.fusion))
     remat_mode = os.environ.get("BENCH_REMAT", "conv")  # conv|av|full
     full_remat = (True if remat_mode == "full"
                   else "av" if remat_mode == "av" else False)
@@ -97,8 +110,12 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     # warmup / compile
+    import sys
+    t_c = time.perf_counter()
     state, loss, _, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
     loss.block_until_ready()
+    print(f"# compile+first-step: {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
     state, loss, _, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
     loss.block_until_ready()
 

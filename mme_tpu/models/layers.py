@@ -51,6 +51,11 @@ class EncoderSpec:
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    # Trace ONE layer and lax.scan it over a stacked [L, ...] param axis:
+    # compile time drops ~L× for deep stacks (first compile through the
+    # remote tunnel is minutes). Param tree changes to layers_scan/[L,...];
+    # convert per-layer trees with models.layers.to_scan_params.
+    scan_layers: bool = False
     # Sequence parallelism (SURVEY §5.7 lift): when both are set, attention
     # runs as ring attention sharded over ``seq_mesh[seq_axis]``
     # (ops/ring_attention.py) — for sequences one chip can't hold.
@@ -179,6 +184,22 @@ class EncoderBlock(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """lax.scan body for ``EncoderSpec.scan_layers``: one EncoderBlock with
+    the (carry, out) contract nn.scan requires."""
+
+    spec: EncoderSpec
+    use_remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array],
+                 deterministic: bool = True):
+        cls = (nn.remat(EncoderBlock, static_argnums=(3,))
+               if self.use_remat else EncoderBlock)
+        x = cls(self.spec, name="block")(x, bias, deterministic)
+        return x, None
+
+
 class TransformerEncoder(nn.Module):
     """Stack of EncoderBlocks with optional remat.
 
@@ -199,9 +220,42 @@ class TransformerEncoder(nn.Module):
             # static_argnums counts the checkpointed core_fn's args
             # (scope, x, bias, deterministic) — pin the bool
             block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
-        for i in range(s.layers):
-            x = block_cls(s, name=f"layer_{i}")(x, bias, deterministic)
+        if s.scan_layers:
+            scan = nn.scan(_ScanBlock,
+                           variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           in_axes=(nn.broadcast, nn.broadcast),
+                           length=s.layers)
+            x, _ = scan(s, s.remat, name="layers_scan")(
+                x, bias, deterministic)
+        else:
+            for i in range(s.layers):
+                x = block_cls(s, name=f"layer_{i}")(x, bias, deterministic)
         if s.final_ln:
             x = nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
                              param_dtype=s.param_dtype, name="final_ln")(x)
         return x
+
+
+def to_scan_params(encoder_params: Any, n_layers: int) -> Any:
+    """Convert an unrolled encoder param tree ({'layer_i': ...}, e.g. from
+    models/hf_import.py) to the stacked tree a ``scan_layers=True`` encoder
+    expects ({'layers_scan': {'block': [L, ...]}}). Non-layer entries
+    (final_ln, ...) pass through."""
+    import jax.numpy as _jnp
+
+    layers = [encoder_params[f"layer_{i}"] for i in range(n_layers)]
+    out = {k: v for k, v in encoder_params.items()
+           if not k.startswith("layer_")}
+    out["layers_scan"] = {"block": jax.tree.map(
+        lambda *xs: _jnp.stack(xs, axis=0), *layers)}
+    return out
+
+
+def from_scan_params(encoder_params: Any, n_layers: int) -> Any:
+    """Inverse of :func:`to_scan_params`."""
+    stacked = encoder_params["layers_scan"]["block"]
+    out = {k: v for k, v in encoder_params.items() if k != "layers_scan"}
+    for i in range(n_layers):
+        out[f"layer_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out

@@ -8,6 +8,13 @@ holding the full TrainState (params, optimizer state, accumulation buffers,
 step) plus loop metadata (epoch, step, best val loss), with best-checkpoint
 semantics and the reference's reload-best-each-epoch behavior available via
 ``restore_best``.
+
+Saves are ASYNC by default (``MME_ASYNC_CKPT=0`` falls back to blocking):
+the multi-GB TrainState write happens on orbax's background thread while
+training continues — mid-epoch best-saves (every improving validation,
+``train_model/tav_train.py:75``) no longer stall the step stream. Every
+read/overwrite barriers on the in-flight write first, so the async mode is
+observationally identical.
 """
 
 from __future__ import annotations
@@ -21,20 +28,34 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, use_async: Optional[bool] = None):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._ckpt = ocp.StandardCheckpointer()
+        if use_async is None:
+            use_async = os.environ.get("MME_ASYNC_CKPT", "1") != "0"
+        self._async = use_async
+        if use_async:
+            self._ckpt = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        else:
+            self._ckpt = ocp.StandardCheckpointer()
 
     @property
     def best_path(self) -> str:
         return os.path.join(self.directory, "best")
 
+    def wait(self) -> None:
+        """Barrier on any in-flight async save."""
+        if self._async:
+            self._ckpt.wait_until_finished()
+
     def save_best(self, state: Any, meta: Dict[str, Any]) -> None:
         """Overwrite the best checkpoint (the reference saves whenever
-        mid-epoch validation improves, ``train_model/tav_train.py:75``)."""
-        path = self.best_path
-        self._ckpt.save(path, state, force=True)
+        mid-epoch validation improves, ``train_model/tav_train.py:75``).
+        Async mode: returns as soon as the device arrays are snapshotted;
+        the serialization/write overlaps subsequent train steps."""
+        self.wait()  # previous write must land before overwriting
+        self._ckpt.save(self.best_path, state, force=True)
         with open(os.path.join(self.directory, "best_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -45,6 +66,7 @@ class CheckpointManager:
                      ) -> Tuple[Any, Dict[str, Any]]:
         """Restore the best TrainState (reference best-reload-each-epoch,
         ``train_model/tav_train.py:143``)."""
+        self.wait()  # the write we are about to read must be durable
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
         state = self._ckpt.restore(self.best_path, abstract)
         with open(os.path.join(self.directory, "best_meta.json")) as f:

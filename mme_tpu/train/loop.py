@@ -252,6 +252,8 @@ def train_network(train_step, eval_step, state: TrainState,
         if accum is not None:
             accum = DialogAccumulator(accum.counts)  # reset ctr per epoch
 
+    if hasattr(checkpoints, "wait"):
+        checkpoints.wait()  # async best-save must be durable before return
     return state
 
 
