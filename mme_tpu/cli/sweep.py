@@ -103,11 +103,37 @@ def main(argv=None):
     if args.workers > 1:
         return _launch_workers(args)
 
-    from mme_tpu.core.sweep import SweepConfig, run_sweep
+    from mme_tpu.core.sweep import SweepConfig, TrialResult, run_sweep
 
     cfg = SweepConfig.from_yaml(args.yaml)
     entry = importlib.import_module(f"mme_tpu.cli.{args.entry}")
     results_f = open(args.results, "a") if args.results else None
+
+    refresh = None
+    if args.results:
+        # bayes workers condition on SIBLING workers' finished trials too
+        # (own trials live in run_sweep's history — excluded to avoid
+        # double counting): the wandb-service sharing pattern, via the
+        # shared results dir
+        import glob as globlib
+        res_dir = os.path.dirname(os.path.abspath(args.results))
+        own = os.path.abspath(args.results)
+
+        def refresh():
+            out = []
+            for path in sorted(globlib.glob(
+                    os.path.join(res_dir, "worker_*.jsonl"))):
+                if os.path.abspath(path) == own:
+                    continue
+                try:
+                    with open(path) as f:
+                        for line in f:
+                            rec = json.loads(line)
+                            out.append(TrialResult(rec["params"],
+                                                   rec["metrics"]))
+                except (OSError, ValueError):
+                    pass  # sibling mid-write; pick it up next trial
+            return out
 
     def trial(params):
         argv_trial = []
@@ -129,7 +155,8 @@ def main(argv=None):
         return metrics
 
     best = run_sweep(cfg, trial, args.trials, args.seed,
-                     trial_offset=args.trial_offset, stride=args.stride)
+                     trial_offset=args.trial_offset, stride=args.stride,
+                     refresh_observations=refresh)
     if results_f is not None:
         results_f.close()
     print(json.dumps({"best_params": best.params,

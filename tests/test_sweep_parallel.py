@@ -75,6 +75,52 @@ parameters:
     assert "val/loss" in best.metrics
 
 
+def test_bayes_worker_conditions_on_sibling_results(tmp_path):
+    """A bayes worker reads sibling workers' JSONL trials before each
+    proposal (the wandb-service sharing pattern): with a sibling history
+    locating the optimum, every trial is adaptive from the start."""
+    import numpy as np
+
+    from mme_tpu.cli import sweep as sweep_mod
+
+    yaml_path = tmp_path / "sweep.yaml"
+    yaml_path.write_text("""
+method: bayes
+metric: {name: "val/loss", goal: minimize}
+parameters:
+  x: {distribution: uniform, min: -5.0, max: 5.0}
+""")
+    # sibling worker already explored broadly; best points near x=2
+    sibling = tmp_path / "worker_0.jsonl"
+    with open(sibling, "w") as f:
+        for v in np.linspace(-5, 5, 12):
+            f.write(json.dumps({"params": {"x": float(v)},
+                                "metrics": {"val/loss": float((v - 2) ** 2)}
+                                }) + "\n")
+
+    seen = []
+
+    class FakeEntry:
+        @staticmethod
+        def main(argv):
+            args = dict(zip(argv[::2], argv[1::2]))
+            x = float(args["--x"])
+            seen.append(x)
+            return {"val/loss": (x - 2.0) ** 2}
+
+    orig = sweep_mod.importlib.import_module
+    sweep_mod.importlib.import_module = lambda name: FakeEntry
+    try:
+        best = sweep_mod.main([str(yaml_path), "--entry", "fake",
+                               "--trials", "6", "--seed", "11",
+                               "--results", str(tmp_path / "worker_1.jsonl")])
+    finally:
+        sweep_mod.importlib.import_module = orig
+    # conditioned on the sibling's 12 trials, proposals concentrate near 2
+    assert abs(best.params["x"] - 2.0) < 1.0
+    assert np.mean([abs(x - 2.0) for x in seen]) < 2.0
+
+
 def test_worker_results_jsonl_roundtrip(tmp_path):
     """Single-agent worker mode writes parseable per-trial JSONL."""
     from mme_tpu.cli import sweep
