@@ -62,6 +62,37 @@ class CheckpointManager:
     def has_best(self) -> bool:
         return os.path.exists(os.path.join(self.directory, "best_meta.json"))
 
+    # ---- "latest" slot: preemption/crash recovery (aux subsystem 5.3) ----
+    # Separate from "best": best keeps the reference's
+    # save-on-improving-validation semantics; latest is whatever state the
+    # loop held when it was told to stop (SIGTERM → graceful drain).
+
+    @property
+    def latest_path(self) -> str:
+        return os.path.join(self.directory, "latest")
+
+    def save_latest(self, state: Any, meta: Dict[str, Any]) -> None:
+        self.wait()
+        self._ckpt.save(self.latest_path, state, force=True)
+        self.wait()  # durable before the process exits
+        with open(os.path.join(self.directory, "latest_meta.json"),
+                  "w") as f:
+            json.dump(meta, f)
+
+    def has_latest(self) -> bool:
+        return os.path.exists(os.path.join(self.directory,
+                                           "latest_meta.json"))
+
+    def restore_latest(self, target_state: Any
+                       ) -> Tuple[Any, Dict[str, Any]]:
+        self.wait()
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                target_state)
+        state = self._ckpt.restore(self.latest_path, abstract)
+        with open(os.path.join(self.directory, "latest_meta.json")) as f:
+            meta = json.load(f)
+        return state, meta
+
     def restore_best(self, target_state: Any
                      ) -> Tuple[Any, Dict[str, Any]]:
         """Restore the best TrainState (reference best-reload-each-epoch,

@@ -147,12 +147,36 @@ def train_network(train_step, eval_step, state: TrainState,
 
     if checkpoints is None:
         checkpoints = CheckpointManager(cfg.checkpoint_dir)
-    if resume and checkpoints.has_best():
-        state, meta = checkpoints.restore_best(state)
-        prev_val_loss = float(meta.get("val_loss", prev_val_loss))
+    start_epoch = 0
+    if resume:
+        # prefer the preemption "latest" slot (newer than best) — the
+        # graceful-drain checkpoint below; else the best slot
+        if getattr(checkpoints, "has_latest", lambda: False)():
+            state, meta = checkpoints.restore_latest(state)
+            prev_val_loss = float(meta.get("val_loss", prev_val_loss))
+            start_epoch = int(meta.get("epoch", 0))
+        elif checkpoints.has_best():
+            state, meta = checkpoints.restore_best(state)
+            prev_val_loss = float(meta.get("val_loss", prev_val_loss))
     state = reshard(state)
 
-    for epoch in range(cfg.epoch):
+    # graceful preemption (SLURM sends SIGTERM before the hard kill,
+    # reference run_slurm/*.sh walltime): finish the in-flight step, save
+    # the full TrainState into the latest slot, stop. MME_PREEMPT_SAVE=0
+    # opts out (e.g. when the caller owns signal handling).
+    import os as _os
+    import signal as _signal
+    preempt = {"flag": False}
+    old_handler = None
+    if _os.environ.get("MME_PREEMPT_SAVE", "1") != "0":
+        try:
+            old_handler = _signal.signal(
+                _signal.SIGTERM,
+                lambda sig, frame: preempt.__setitem__("flag", True))
+        except ValueError:   # not the main thread
+            old_handler = None
+
+    for epoch in range(start_epoch, cfg.epoch):
         order = epoch_order(host_rng, epoch, cfg.epoch_switch,
                             sample_weights, len(train_ds))
         use_dialog_accum = (accum is not None
@@ -208,6 +232,15 @@ def train_network(train_step, eval_step, state: TrainState,
             cm_acc = cm if cm_acc is None else cm_acc + cm
             steps_done += 1
 
+            if preempt["flag"]:
+                checkpoints.save_latest(
+                    state, {"epoch": epoch, "step": int(state.step),
+                            "val_loss": prev_val_loss, "preempted": True})
+                callbacks.log({"preempted": True, "epoch": epoch,
+                               "step": int(state.step)})
+                epoch_broken = True
+                break
+
             if ((bi + 1) % cfg.log_val == 0) or (bi + 1 == iters):
                 if cm_acc is not None:
                     metric.merge(cm_acc)
@@ -252,6 +285,8 @@ def train_network(train_step, eval_step, state: TrainState,
         if accum is not None:
             accum = DialogAccumulator(accum.counts)  # reset ctr per epoch
 
+    if old_handler is not None:
+        _signal.signal(_signal.SIGTERM, old_handler)
     if hasattr(checkpoints, "wait"):
         checkpoints.wait()  # async best-save must be durable before return
     return state
