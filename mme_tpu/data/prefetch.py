@@ -34,23 +34,49 @@ def prefetch_batches(it: Iterator[Tuple[Dict[str, Any], Any, Any, Any]],
     a daemon thread so abandoning the iterator can't hang interpreter
     shutdown."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Blocking put that aborts when the consumer is gone (early-stop
+        / preemption break out of the batch loop) — otherwise the producer
+        would pin ``depth`` device-resident batches forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch, labels, mask, idx in it:
+                if stop.is_set():
+                    return
                 dev_batch = {k: jax.device_put(v) for k, v in batch.items()}
-                q.put((dev_batch, labels, mask, idx))
-            q.put(_SENTINEL)
+                if not _put((dev_batch, labels, mask, idx)):
+                    return
+            _put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — reraised consumer-side
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True,
                          name="mme-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer closed (normal exhaustion, early break, or error):
+        # release the producer and drop its queued device buffers
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -7,8 +7,10 @@ tp (parallel/sharding_rules.py), sp (ops/ring_attention.py), pp
 
 Design is the standard TPU GShard/Switch recipe, all static shapes:
 
-- router: dense [H → E] logits, top-k gating with softmax-renormalized
-  combine weights;
+- router: dense [H → E] logits, top-k gating; combine weights are the raw
+  softmax probability for top-1 (Switch convention — renormalizing one
+  weight to 1.0 would cut the router's task-loss gradient) and
+  renormalized across the selected k for top-k>1 (GShard convention);
 - capacity: each expert processes at most C = ceil(capacity_factor · S · k
   / E) tokens; overflow tokens are dropped from the expert path (their
   combine weight contributes nothing — the residual connection in the
@@ -16,8 +18,9 @@ Design is the standard TPU GShard/Switch recipe, all static shapes:
 - dispatch/combine are one-hot einsums ([B,S,E,C] tensors), so when the
   stacked expert params [E, ...] are sharded along ``ep`` XLA lowers the
   dispatch einsum into an all-to-all over ICI — no hand-written collectives;
-- aux load-balancing loss (mean fraction·prob product per expert, scaled by
-  E²) is returned for the trainer to add.
+- aux load-balancing loss E·Σ_e frac_e·mean_prob_e (≈ k at uniform
+  routing since frac sums to k; larger when imbalanced) is returned for
+  the trainer to add.
 
 ``MoEMlp`` is a drop-in for ``models.layers.Mlp``; ``MoETransformerEncoder``
 swaps the MLP of every ``moe_every``-th block.
@@ -67,11 +70,17 @@ def router_gates(logits: jax.Array, top_k: int
         onehot = jax.nn.one_hot(idx, probs.shape[-1], dtype=probs.dtype)
         gates = gates + onehot * probs
         remaining = remaining * (1.0 - onehot)
-    # renormalize the selected weights to sum to 1 per token
-    denom = jnp.maximum(gates.sum(-1, keepdims=True), 1e-9)
-    gates = gates / denom
-    # GShard/Switch aux loss: E · Σ_e frac_tokens_e · mean_prob_e
-    # (minimized at uniform routing, where it equals 1)
+    if top_k > 1:
+        # GShard-style renormalization of the selected weights. NOT done
+        # for top-1: renormalizing a single weight makes it exactly 1.0,
+        # killing the task-loss gradient into the router (Switch
+        # Transformer keeps the raw p_max as the combine weight for
+        # precisely this reason).
+        denom = jnp.maximum(gates.sum(-1, keepdims=True), 1e-9)
+        gates = gates / denom
+    # GShard/Switch aux loss: E · Σ_e frac_tokens_e · mean_prob_e.
+    # frac sums to k over experts, so uniform routing scores ≈ k (≈1 for
+    # top-1); imbalance scores higher.
     E = probs.shape[-1]
     frac = (gates > 0).astype(jnp.float32).mean(axis=(0, 1))
     mean_prob = probs.mean(axis=(0, 1))

@@ -35,8 +35,7 @@ class Predictor:
     """
 
     def __init__(self, apply_fn: Callable, params: Any,
-                 batch_size: int = 8, batch_stats: Any = None,
-                 donate: bool = False):
+                 batch_size: int = 8, batch_stats: Any = None):
         self.batch_size = int(batch_size)
         variables = {"params": params}
         if batch_stats is not None:
@@ -78,18 +77,27 @@ class Predictor:
                         = None, batch_transform: Optional[Callable] = None,
                         rng: Optional[jax.Array] = None):
         """Predict an ArrayDataset (data/dataset.py); yields dict rows
-        (serving-log shaped: index, pred, label name, prob vector)."""
+        (serving-log shaped: index, pred, label name, prob vector).
+
+        Streams in ``batch_size`` chunks — the transform (e.g. uint8 video
+        normalization) runs per chunk, so only one fixed-shape batch is
+        ever resident on device, never the whole split."""
         feats = dataset.features
         n = len(dataset)
-        if batch_transform is not None:
-            rng = rng if rng is not None else jax.random.PRNGKey(0)
-            feats = batch_transform(rng, {k: jnp.asarray(v)
-                                          for k, v in feats.items()})
-            feats = {k: np.asarray(v) for k, v in feats.items()}
-        preds, probs = self(feats)
-        for i in range(n):
-            row = {"index": i, "pred": int(preds[i]),
-                   "probs": [round(float(x), 6) for x in probs[i]]}
-            if id2label:
-                row["label"] = id2label.get(int(preds[i]), str(preds[i]))
-            yield row
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        for lo in range(0, n, self.batch_size):
+            hi = min(lo + self.batch_size, n)
+            chunk = {k: np.asarray(v[lo:hi]) for k, v in feats.items()}
+            if batch_transform is not None:
+                rng, sub = jax.random.split(rng)
+                chunk = batch_transform(sub, {k: jnp.asarray(v)
+                                              for k, v in chunk.items()})
+                chunk = {k: np.asarray(v) for k, v in chunk.items()}
+            preds, probs = self(chunk)
+            for i in range(hi - lo):
+                row = {"index": lo + i, "pred": int(preds[i]),
+                       "probs": [round(float(x), 6) for x in probs[i]]}
+                if id2label:
+                    row["label"] = id2label.get(int(preds[i]),
+                                                str(preds[i]))
+                yield row

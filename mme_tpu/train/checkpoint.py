@@ -34,6 +34,8 @@ class CheckpointManager:
         if use_async is None:
             use_async = os.environ.get("MME_ASYNC_CKPT", "1") != "0"
         self._async = use_async
+        self._counter = 0
+        self._pending_meta: Optional[Dict[str, Any]] = None
         if use_async:
             self._ckpt = ocp.AsyncCheckpointer(
                 ocp.StandardCheckpointHandler())
@@ -42,25 +44,58 @@ class CheckpointManager:
 
     @property
     def best_path(self) -> str:
+        """The CURRENT best data dir (pointer in best_meta.json; new saves
+        go to fresh ``best_<n>`` dirs so a crash mid-write never destroys
+        the previous durable best)."""
+        meta_path = os.path.join(self.directory, "best_meta.json")
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    rel = json.load(f).get("_data", "best")
+                return os.path.join(self.directory, rel)
+            except (OSError, ValueError):
+                pass
         return os.path.join(self.directory, "best")
 
     def wait(self) -> None:
-        """Barrier on any in-flight async save."""
+        """Barrier on any in-flight async save; once the data is durable,
+        publish its meta (the crash-safety point: meta — and therefore
+        ``has_best`` — only ever references completed writes)."""
         if self._async:
             self._ckpt.wait_until_finished()
+        if self._pending_meta is not None:
+            meta = self._pending_meta
+            self._pending_meta = None
+            old = self.best_path
+            with open(os.path.join(self.directory, "best_meta.json"),
+                      "w") as f:
+                json.dump(meta, f)
+            new = os.path.join(self.directory, meta["_data"])
+            if os.path.abspath(old) != os.path.abspath(new) and \
+                    os.path.isdir(old):
+                import shutil
+                shutil.rmtree(old, ignore_errors=True)
 
     def save_best(self, state: Any, meta: Dict[str, Any]) -> None:
-        """Overwrite the best checkpoint (the reference saves whenever
+        """Save a new best checkpoint (the reference saves whenever
         mid-epoch validation improves, ``train_model/tav_train.py:75``).
         Async mode: returns as soon as the device arrays are snapshotted;
-        the serialization/write overlaps subsequent train steps."""
-        self.wait()  # previous write must land before overwriting
-        self._ckpt.save(self.best_path, state, force=True)
-        with open(os.path.join(self.directory, "best_meta.json"), "w") as f:
-            json.dump(meta, f)
+        serialization overlaps subsequent train steps, and the meta
+        pointer flips to the new data only at the next :meth:`wait` —
+        a SIGKILL mid-write leaves the previous best fully intact."""
+        self.wait()  # previous write lands + its meta publishes first
+        self._counter += 1
+        name = f"best_{self._counter}_{os.getpid()}"
+        self._ckpt.save(os.path.join(self.directory, name), state,
+                        force=True)
+        self._pending_meta = dict(meta, _data=name)
+        if not self._async:
+            self.wait()  # blocking mode publishes immediately
 
     def has_best(self) -> bool:
-        return os.path.exists(os.path.join(self.directory, "best_meta.json"))
+        return (self._pending_meta is not None or
+                os.path.exists(os.path.join(self.directory,
+                                            "best_meta.json")))
 
     # ---- "latest" slot: preemption/crash recovery (aux subsystem 5.3) ----
     # Separate from "best": best keeps the reference's
@@ -83,6 +118,16 @@ class CheckpointManager:
         return os.path.exists(os.path.join(self.directory,
                                            "latest_meta.json"))
 
+    def clear_latest(self) -> None:
+        """Remove the preemption slot — called on successful completion so
+        a later ``resume=True`` never restores a stale preempted state in
+        preference to the (newer) best."""
+        import shutil
+        meta = os.path.join(self.directory, "latest_meta.json")
+        if os.path.exists(meta):
+            os.remove(meta)
+        shutil.rmtree(self.latest_path, ignore_errors=True)
+
     def restore_latest(self, target_state: Any
                        ) -> Tuple[Any, Dict[str, Any]]:
         self.wait()
@@ -102,4 +147,5 @@ class CheckpointManager:
         state = self._ckpt.restore(self.best_path, abstract)
         with open(os.path.join(self.directory, "best_meta.json")) as f:
             meta = json.load(f)
+        meta.pop("_data", None)
         return state, meta

@@ -287,6 +287,10 @@ def train_network(train_step, eval_step, state: TrainState,
 
     if old_handler is not None:
         _signal.signal(_signal.SIGTERM, old_handler)
+    if not preempt["flag"] and hasattr(checkpoints, "clear_latest"):
+        # successful completion → drop the preemption slot so a later
+        # resume never prefers a stale preempted state over best
+        checkpoints.clear_latest()
     if hasattr(checkpoints, "wait"):
         checkpoints.wait()  # async best-save must be durable before return
     return state

@@ -30,10 +30,12 @@ def timed(fn, args, steps, windows, sync, name=None):
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
-        o = None
-        for _ in range(steps):
-            o = fn(*args)
-        _ = float(sync(o))  # host transfer = true device sync
+        outs = [sync(fn(*args)) for _ in range(steps)]
+        # host transfer of a value depending on EVERY dispatch in the
+        # window (CLAUDE.md timing rule: through the tunnel, a sync on
+        # just the last call can resolve before earlier work completes)
+        _ = float(sum(o.astype(jnp.float32).sum() if hasattr(o, "astype")
+                      else o for o in outs))
         best = min(best, time.perf_counter() - t0)
     if name:
         print(f"# {name}: {best / steps * 1000:.1f} ms", flush=True)

@@ -43,6 +43,30 @@ def test_async_interleaved_overwrites_read_latest(tmp_path):
                                   np.asarray(states[3].params["w"]))
 
 
+def test_crash_mid_write_preserves_previous_best(tmp_path):
+    """The meta pointer flips only at wait(): a process killed while the
+    async save is in flight leaves the PREVIOUS best fully restorable
+    from a fresh manager (no meta-points-at-missing-data window)."""
+    mgr = CheckpointManager(str(tmp_path), use_async=True)
+    s1, s2 = make_state(0), make_state(1)
+    mgr.save_best(s1, {"epoch": 1})
+    mgr.wait()  # s1 durable + published
+    mgr.save_best(s2, {"epoch": 2})
+    # do NOT wait — simulate the process dying here: a new process sees
+    # only what's on disk
+    fresh = CheckpointManager(str(tmp_path), use_async=True)
+    assert fresh.has_best()
+    restored, meta = fresh.restore_best(make_state(9))
+    assert meta["epoch"] == 1
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(s1.params["w"]))
+    # while the original process, had it lived, reads s2 after its wait
+    restored2, meta2 = mgr.restore_best(make_state(9))
+    assert meta2["epoch"] == 2
+    np.testing.assert_array_equal(np.asarray(restored2.params["w"]),
+                                  np.asarray(s2.params["w"]))
+
+
 def test_wait_is_idempotent(tmp_path):
     mgr = CheckpointManager(str(tmp_path), use_async=True)
     mgr.wait()

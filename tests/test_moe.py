@@ -19,14 +19,38 @@ from mme_tpu.models.moe import (MoEMlp, MoESpec, MoETransformerEncoder,
 
 def test_router_topk_semantics():
     logits = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 4))
+    probs = np.asarray(jax.nn.softmax(logits, -1))
     for k in (1, 2):
         gates, aux = router_gates(logits, k)
         nnz = (np.asarray(gates) > 0).sum(-1)
         assert (nnz <= k).all() and (nnz >= 1).all()
-        np.testing.assert_allclose(np.asarray(gates.sum(-1)),
-                                   np.ones((2, 5)), rtol=1e-5)
-        # ≈1 near-uniform routing, larger when imbalanced; always positive
+        if k == 1:
+            # Switch convention: raw p_max (NOT renormalized to 1 — that
+            # would zero the router's task-loss gradient)
+            np.testing.assert_allclose(np.asarray(gates.sum(-1)),
+                                       probs.max(-1), rtol=1e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(gates.sum(-1)),
+                                       np.ones((2, 5)), rtol=1e-5)
+        # ≈k at uniform routing, larger when imbalanced; always positive
         assert 0.5 < float(aux) < 4.0
+
+
+def test_router_top1_has_task_gradient():
+    """The regression the renormalization bug caused: with top-1 the
+    combine weight must carry d(loss)/d(router)."""
+    spec = EncoderSpec(hidden=8, intermediate=16)
+    moe = MoESpec(num_experts=4, top_k=1)
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 6, 8))
+    layer = MoEMlp(spec, moe)
+    params = layer.init(jax.random.PRNGKey(9), x)["params"]
+
+    def loss(p):
+        y = layer.apply({"params": p}, x)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["router"]["kernel"]).sum()) > 1e-3
 
 
 def test_dispatch_conservation_and_capacity():

@@ -34,6 +34,32 @@ def test_prefetch_matches_direct_iteration():
         assert hasattr(b2["x"], "devices")  # features device-resident
 
 
+def test_prefetch_producer_exits_on_abandoned_iterator():
+    """Early break (patience stop / preemption) must release the producer
+    thread instead of leaving it blocked on a full queue pinning device
+    buffers."""
+    import threading
+    import time
+
+    before = {t.name for t in threading.enumerate()}
+    ds = toy_dataset(64)
+    order = np.arange(len(ds))
+    it = prefetch_batches(batches(ds, order, 2), depth=2)
+    next(it)
+    next(it)
+    it.close()  # what an early `break` does to the generator
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "mme-prefetch" and t.name not in before
+                 and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not [t for t in threading.enumerate()
+                if t.name == "mme-prefetch" and t.is_alive()]
+
+
 def test_prefetch_propagates_errors():
     def bad_iter():
         yield ({"x": np.zeros((2, 3), np.float32)},
