@@ -1,0 +1,133 @@
+"""Offline dataset builder: raw MELD-style CSV → the training pickle.
+
+The reference builds its pickles in notebooks (``notebooks/data_meld.ipynb``
+→ ``merge_Dataframs.ipynb`` → ``run_scripts/pre_process_for_audio.py`` —
+SURVEY.md §3.5): emotion string → int map (``pre_process_for_audio.py:14``),
+``dia{d}_utt{u}.wav`` path construction (``:36``), the two known-bad
+utterances dropped (``:28-29,41-42``), and per-file audio lengths probed
+for the ``audio_shape`` filter column. This CLI is that chain as one
+reproducible command:
+
+    python -m mme_tpu.cli.preprocess train.csv dev.csv test.csv \
+        --out meld.pkl --audio_dir wavs/ --video_dir mp4s/
+
+Output columns follow the reference pickle contract consumed by every
+entry point (``tav_nn.py:146-163``): text, audio_path, video_path,
+emotion, emotion_label, sentiment, sentiment_label, dialog, utterance,
+split, audio_shape, timings, speaker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import wave
+
+# the reference's emotion int map (run_scripts/pre_process_for_audio.py:14)
+MELD_EMOTION_IDS = {"neutral": 0, "surprise": 1, "fear": 2, "sadness": 3,
+                    "joy": 4, "disgust": 5, "anger": 6}
+MELD_SENTIMENT_IDS = {"neutral": 0, "positive": 1, "negative": 2}
+# not present in the val split upstream (pre_process_for_audio.py:28-29)
+BAD_UTTERANCES = {"dia110_utt7", "dia125_utt3"}
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser("mme_tpu preprocess")
+    p.add_argument("csvs", nargs="+",
+                   help="MELD-format CSV(s); split inferred from filename "
+                        "(train/dev|val/test) unless --split is given")
+    p.add_argument("--out", required=True, help="output pickle path")
+    p.add_argument("--split", default=None,
+                   help="force one split name for all inputs")
+    p.add_argument("--audio_dir", default=None)
+    p.add_argument("--video_dir", default=None)
+    p.add_argument("--audio_pattern", default="dia{dialog}_utt{utterance}.wav")
+    p.add_argument("--video_pattern", default="dia{dialog}_utt{utterance}.mp4")
+    p.add_argument("--text_col", default="Utterance")
+    p.add_argument("--emotion_col", default="Emotion")
+    p.add_argument("--sentiment_col", default="Sentiment")
+    p.add_argument("--dialog_col", default="Dialogue_ID")
+    p.add_argument("--utterance_col", default="Utterance_ID")
+    p.add_argument("--speaker_col", default=None,
+                   help="speaker boolean column (IEMOCAP crop); absent for "
+                        "MELD")
+    p.add_argument("--sep", default=",", help="CSV separator")
+    p.add_argument("--keep_bad", action="store_true",
+                   help="keep dia110_utt7/dia125_utt3 (the reference "
+                        "drops them)")
+    return p.parse_args(argv)
+
+
+def _infer_split(path: str) -> str:
+    name = os.path.basename(path).lower()
+    for key, split in (("train", "train"), ("dev", "val"), ("val", "val"),
+                       ("test", "test")):
+        if key in name:
+            return split
+    return "train"
+
+
+def _wav_frames(path: str) -> int:
+    """audio_shape: sample count from the WAV header only (the reference
+    loads whole files to measure; the header is enough and O(1))."""
+    try:
+        with wave.open(path, "rb") as w:
+            return int(w.getnframes())
+    except (OSError, wave.Error):
+        return 0
+
+
+def build_frame(args):
+    import pandas as pd
+
+    rows = []
+    for csv_path in args.csvs:
+        split = args.split or _infer_split(csv_path)
+        df = pd.read_csv(csv_path, sep=args.sep)
+        for _, r in df.iterrows():
+            dialog = int(r[args.dialog_col])
+            utt = int(r[args.utterance_col])
+            name = f"dia{dialog}_utt{utt}"
+            if not args.keep_bad and name in BAD_UTTERANCES:
+                continue
+            emo = str(r[args.emotion_col]).strip().lower()
+            sent = str(r.get(args.sentiment_col, "neutral")).strip().lower()
+            fmt = dict(dialog=dialog, utterance=utt, name=name, split=split)
+            audio_path = (os.path.join(
+                args.audio_dir, args.audio_pattern.format(**fmt))
+                if args.audio_dir else "")
+            video_path = (os.path.join(
+                args.video_dir, args.video_pattern.format(**fmt))
+                if args.video_dir else "")
+            rows.append({
+                "text": str(r[args.text_col]),
+                "audio_path": audio_path,
+                "video_path": video_path,
+                "emotion": MELD_EMOTION_IDS.get(emo, 0),
+                "emotion_label": emo,
+                "sentiment": MELD_SENTIMENT_IDS.get(sent, 0),
+                "sentiment_label": sent,
+                "dialog": dialog,
+                "utterance": utt,
+                "split": split,
+                "audio_shape": (_wav_frames(audio_path)
+                                if audio_path else 0),
+                "timings": None,
+                "speaker": (bool(r[args.speaker_col])
+                            if args.speaker_col else None),
+            })
+    return pd.DataFrame(rows)
+
+
+def main(argv=None):
+    args = _parse(argv)
+    df = build_frame(args)
+    df.to_pickle(args.out)
+    by_split = df.groupby("split").size().to_dict()
+    print(f"wrote {args.out}: {len(df)} rows, splits={by_split}",
+          flush=True)
+    return df
+
+
+if __name__ == "__main__":
+    main()
