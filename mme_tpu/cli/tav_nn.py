@@ -107,6 +107,14 @@ def main(argv=None):
         params, loaded = load_tav(params, spec, root)
         for name in loaded:
             print(f"loaded pretrained tower: {name}", flush=True)
+    if _os.environ.get("MME_SCAN_LAYERS") == "1":
+        # scan-over-layers twin: same numerics, ~L× faster first compile
+        # (dev iteration through the slow remote-compile tunnel;
+        # BASELINE.md: ~11% step cost at bench scale)
+        from mme_tpu.models.layers import convert_tree_to_scan
+        model = model_cls(spec.with_scan_layers())
+        params = convert_tree_to_scan(params)
+        print("scan-over-layers mode on (MME_SCAN_LAYERS)", flush=True)
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
                           batch_transform=transform,
                           trainable_mask=modality_embedding_trainable_mask(

@@ -75,6 +75,22 @@ class TAVSpec:
     # parameterization; bench/CLI turn it on.
     share_audio_frontend: bool = False
 
+    def with_scan_layers(self) -> "TAVSpec":
+        """Every encoder in scan-over-layers mode (~L× faster compiles;
+        convert unrolled param trees with
+        models.layers.convert_tree_to_scan)."""
+        def scan(e: EncoderSpec) -> EncoderSpec:
+            return dataclasses.replace(e, scan_layers=True)
+        return dataclasses.replace(
+            self,
+            text=dataclasses.replace(self.text,
+                                     encoder=scan(self.text.encoder)),
+            audio=dataclasses.replace(self.audio,
+                                      encoder=scan(self.audio.encoder)),
+            video=dataclasses.replace(self.video,
+                                      encoder=scan(self.video.encoder)),
+            fusion=scan(self.fusion))
+
     def with_compute_dtype(self, dtype: Any) -> "TAVSpec":
         """Mixed precision: params stay fp32, activations/matmuls in
         ``dtype`` (bf16 is MXU-native; softmax stays fp32 inside the

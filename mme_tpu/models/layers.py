@@ -259,3 +259,29 @@ def from_scan_params(encoder_params: Any, n_layers: int) -> Any:
     for i in range(n_layers):
         out[f"layer_{i}"] = jax.tree.map(lambda x: x[i], stacked)
     return out
+
+
+def convert_tree_to_scan(params: Any) -> Any:
+    """Recursively convert EVERY unrolled encoder subtree ({'layer_0'...})
+    in a whole-model param tree to the stacked scan layout — lets a model
+    built/pretrained-loaded with unrolled encoders run as its
+    ``scan_layers=True`` twin (cli/tav_nn.py MME_SCAN_LAYERS=1)."""
+    if not isinstance(params, dict):
+        return params
+    layer_keys = [k for k in params
+                  if k.startswith("layer_") and k[6:].isdigit()]
+    if layer_keys:
+        n = max(int(k[6:]) for k in layer_keys) + 1
+        if len(layer_keys) == n and all(f"layer_{i}" in params
+                                        for i in range(n)):
+            try:
+                converted = to_scan_params(params, n)
+            except (ValueError, TypeError):
+                # heterogeneous layers (e.g. MoE blocks interleaved with
+                # dense ones) can't stack — leave this encoder unrolled
+                converted = None
+            if converted is not None:
+                return {k: (v if k == "layers_scan"
+                            else convert_tree_to_scan(v))
+                        for k, v in converted.items()}
+    return {k: convert_tree_to_scan(v) for k, v in params.items()}

@@ -82,6 +82,42 @@ def test_scan_gradients_match_unrolled():
         g2, g1)
 
 
+def test_convert_tree_to_scan_whole_model():
+    """Recursive conversion finds every encoder in a nested model tree and
+    produces exactly the scan twin's init structure."""
+    from mme_tpu.models.fusion import TAVModel, TAVSpec
+    from mme_tpu.models.layers import convert_tree_to_scan
+    from mme_tpu.train.build_tav import example_tav_batch
+
+    spec = TAVSpec(output_dim=7).tiny()
+    batch = example_tav_batch(spec, 1, 12, 400)
+    params = TAVModel(spec).init(jax.random.PRNGKey(0), batch)["params"]
+    scan_model = TAVModel(spec.with_scan_layers())
+    scan_init = scan_model.init(jax.random.PRNGKey(1), batch)["params"]
+    converted = convert_tree_to_scan(params)
+    t1 = jax.tree.map(lambda a: a.shape, scan_init)
+    t2 = jax.tree.map(lambda a: a.shape, converted)
+    assert t1 == t2
+    # and the converted tree actually runs through the scan model
+    logits = scan_model.apply({"params": converted}, batch)
+    assert np.isfinite(np.asarray(logits)).all()
+    # forward equality with the unrolled model
+    ref = TAVModel(spec).apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_convert_tree_leaves_heterogeneous_stacks_unrolled():
+    from mme_tpu.models.layers import convert_tree_to_scan
+    # layer_0 and layer_1 with different structures (the MoE-interleaved
+    # case) must be left untouched, not crash
+    tree = {"enc": {"layer_0": {"w": jnp.zeros((2, 2))},
+                    "layer_1": {"w1": jnp.zeros((2, 3)),
+                                "w2": jnp.zeros((3, 2))}}}
+    out = convert_tree_to_scan(tree)
+    assert "layer_0" in out["enc"] and "layers_scan" not in out["enc"]
+
+
 def test_scan_with_remat_runs():
     spec, enc, params, x = setup()
     scan_spec = dataclasses.replace(spec, scan_layers=True, remat=True)
