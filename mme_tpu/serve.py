@@ -35,8 +35,19 @@ class Predictor:
     """
 
     def __init__(self, apply_fn: Callable, params: Any,
-                 batch_size: int = 8, batch_stats: Any = None):
+                 batch_size: int = 8, batch_stats: Any = None,
+                 param_dtype: Any = None):
+        """``param_dtype=jnp.bfloat16`` stores the weights bf16 on device —
+        half the serving HBM (→ bigger batch), matmuls already run bf16
+        under the compute-dtype specs; logits/probabilities stay fp32."""
         self.batch_size = int(batch_size)
+        if param_dtype is not None:
+            cast = lambda x: (x.astype(param_dtype)
+                              if hasattr(x, "astype")
+                              and jnp.issubdtype(
+                                  jnp.asarray(x).dtype, jnp.floating)
+                              else x)
+            params = jax.tree.map(cast, params)
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats

@@ -41,6 +41,21 @@ def test_predictor_unwraps_aux_tuple():
     assert preds.shape == (2,) and probs.shape == (2, 2)
 
 
+def test_predictor_bf16_weights_close_to_fp32():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    w = rng.randn(16, 5).astype(np.float32)
+    x = rng.randn(6, 16).astype(np.float32)
+    full = Predictor(toy_apply, {"w": jnp.asarray(w)}, batch_size=8)
+    half = Predictor(toy_apply, {"w": jnp.asarray(w)}, batch_size=8,
+                     param_dtype=jnp.bfloat16)
+    p1, pr1 = full({"x": x})
+    p2, pr2 = half({"x": x})
+    # bf16 weights: same argmax on all but near-ties, probs within ~1%
+    np.testing.assert_allclose(pr2, pr1, atol=0.02)
+
+
 def test_predict_out_cli_wiring(tmp_path, monkeypatch):
     """text_nn with MME_PREDICT_OUT leaves a JSONL serving log whose rows
     agree with the test-split size and the label map."""
