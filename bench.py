@@ -100,7 +100,10 @@ def main():
     batch = example_tav_batch(spec, batch_size, text_len, audio_len)
     _model, state, train_step, _ = build_tav(
         spec, cfg, steps_per_epoch=1000, example_batch=batch,
-        remat=full_remat)
+        remat=full_remat,
+        # the bench has no dialog accumulation → drop the params-sized
+        # fp32 accumulation buffer (~2.4 GB of HBM back)
+        use_accum=os.environ.get("BENCH_ACCUM", "0") == "1")
 
     labels = jnp.zeros((batch_size,), jnp.int32)
     mask = jnp.ones((batch_size,), jnp.int32)

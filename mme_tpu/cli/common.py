@@ -78,7 +78,11 @@ def run_classifier(cfg: ExperimentConfig,
     tx = make_optimizer(
         cosine_warm_restarts(cfg.learning_rate, cfg.T_max, steps_per_epoch),
         cfg.weight_decay, cfg.clip, trainable_mask)
-    state = TrainState.create(init_params, tx, batch_stats=batch_stats)
+    # the fp32 accumulation buffer (a full params-sized tree) is only
+    # needed for dialog-aligned accumulation — datasets without dialog ids
+    # skip it and get the HBM back
+    state = TrainState.create(init_params, tx, batch_stats=batch_stats,
+                              use_accum=train_ds.dialog_ids is not None)
     train_step = make_train_step(
         apply_fn, tx, num_classes=num_classes, rng_names=rng_names,
         has_batch_stats=batch_stats is not None, has_aux_loss=has_aux_loss)

@@ -104,7 +104,7 @@ def modality_embedding_trainable_mask(params: Any, learn: bool):
 
 def build_tav(spec: TAVSpec, cfg: ExperimentConfig, steps_per_epoch: int,
               example_batch: Optional[Dict[str, jax.Array]] = None,
-              remat=True
+              remat=True, use_accum: bool = True
               ) -> Tuple[TAVModel, TrainState, Any, Any]:
     """Returns (model, state, train_step, eval_step).
 
@@ -140,7 +140,7 @@ def build_tav(spec: TAVSpec, cfg: ExperimentConfig, steps_per_epoch: int,
         cosine_warm_restarts(cfg.learning_rate, cfg.T_max, steps_per_epoch),
         cfg.weight_decay, cfg.clip,
         modality_embedding_trainable_mask(params, spec.learn_pos_embeddings))
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx, use_accum=use_accum)
 
     def apply_fn(variables, batch, deterministic=True, rngs=None,
                  mutable=None):

@@ -37,8 +37,14 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params: Any, tx: optax.GradientTransformation,
-               batch_stats: Any = None) -> "TrainState":
-        zeros = jax.tree.map(jnp.zeros_like, params)
+               batch_stats: Any = None,
+               use_accum: bool = True) -> "TrainState":
+        """``use_accum=False`` drops the gradient-accumulation buffer —
+        a full params-sized fp32 tree (~2.4 GB for the flagship TAV). Use
+        when dialog accumulation is off (every non-TAV entry, the bench):
+        the freed HBM buys a bigger batch."""
+        zeros = (jax.tree.map(jnp.zeros_like, params) if use_accum
+                 else None)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params), accum_grads=zeros,
                    accum_count=jnp.zeros((), jnp.int32),
@@ -117,23 +123,31 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         (scaled_loss, (logits, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
-        accum = jax.tree.map(jnp.add, state.accum_grads, grads)
-        count = state.accum_count + 1
-
-        def do_update(_):
-            mean_grads = jax.tree.map(lambda g: g / count.astype(g.dtype),
-                                      accum)
-            updates, new_opt = tx.update(mean_grads, state.opt_state,
+        if state.accum_grads is None:
+            # accumulation disabled (TrainState.create(use_accum=False)):
+            # every step applies directly — no params-sized buffer in HBM
+            updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
-            zeros = jax.tree.map(jnp.zeros_like, accum)
-            return new_params, new_opt, zeros, jnp.zeros((), jnp.int32)
+            new_accum, new_count = None, jnp.zeros((), jnp.int32)
+        else:
+            accum = jax.tree.map(jnp.add, state.accum_grads, grads)
+            count = state.accum_count + 1
 
-        def no_update(_):
-            return state.params, state.opt_state, accum, count
+            def do_update(_):
+                mean_grads = jax.tree.map(
+                    lambda g: g / count.astype(g.dtype), accum)
+                updates, new_opt = tx.update(mean_grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                zeros = jax.tree.map(jnp.zeros_like, accum)
+                return new_params, new_opt, zeros, jnp.zeros((), jnp.int32)
 
-        new_params, new_opt, new_accum, new_count = jax.lax.cond(
-            apply_update, do_update, no_update, None)
+            def no_update(_):
+                return state.params, state.opt_state, accum, count
+
+            new_params, new_opt, new_accum, new_count = jax.lax.cond(
+                apply_update, do_update, no_update, None)
 
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, labels, num_classes, sample_mask)
