@@ -134,7 +134,11 @@ def run_classifier(cfg: ExperimentConfig,
         # the reference's EvaluationScripts/*_eval.ipynb notebooks
         assert ckpts.has_best(), (
             f"MME_EVAL_ONLY set but no checkpoint in {cfg.checkpoint_dir}")
-        state, meta = ckpts.restore_best(state)
+        # checkpoints store the stripped structure (no accum buffer —
+        # train/loop.py); eval needs params/batch_stats only
+        state, meta = ckpts.restore_best(state.replace(
+            accum_grads=None,
+            accum_count=jnp.zeros((), jnp.int32)))
         if mesh is not None:
             from mme_tpu.parallel.sharding_rules import shard_state_tp
             state = shard_state_tp(state, mesh)

@@ -145,6 +145,24 @@ def train_network(train_step, eval_step, state: TrainState,
         from mme_tpu.parallel.sharding_rules import shard_state_tp
         return shard_state_tp(s, mesh)
 
+    # The accumulation buffer (a params-sized fp32 tree) costs ~19% step
+    # time in pure HBM traffic (BASELINE.md) and is only needed on
+    # dialog-accum epochs — hydrate it per epoch, strip it everywhere
+    # else. Checkpoints always store the STRIPPED structure (the buffer
+    # is zeros at every boundary anyway), so save/restore structures
+    # agree regardless of which epoch parity they happen on.
+    def _strip_accum(s: TrainState) -> TrainState:
+        if not isinstance(s, TrainState):
+            return s  # test doubles / custom states pass through
+        return s.replace(accum_grads=None,
+                         accum_count=jnp.zeros((), jnp.int32))
+
+    def _hydrate_accum(s: TrainState) -> TrainState:
+        if not isinstance(s, TrainState) or s.accum_grads is not None:
+            return s
+        return s.replace(
+            accum_grads=jax.tree.map(jnp.zeros_like, s.params))
+
     if checkpoints is None:
         checkpoints = CheckpointManager(cfg.checkpoint_dir)
     start_epoch = 0
@@ -152,11 +170,11 @@ def train_network(train_step, eval_step, state: TrainState,
         # prefer the preemption "latest" slot (newer than best) — the
         # graceful-drain checkpoint below; else the best slot
         if getattr(checkpoints, "has_latest", lambda: False)():
-            state, meta = checkpoints.restore_latest(state)
+            state, meta = checkpoints.restore_latest(_strip_accum(state))
             prev_val_loss = float(meta.get("val_loss", prev_val_loss))
             start_epoch = int(meta.get("epoch", 0))
         elif checkpoints.has_best():
-            state, meta = checkpoints.restore_best(state)
+            state, meta = checkpoints.restore_best(_strip_accum(state))
             prev_val_loss = float(meta.get("val_loss", prev_val_loss))
     state = reshard(state)
 
@@ -181,6 +199,8 @@ def train_network(train_step, eval_step, state: TrainState,
                             sample_weights, len(train_ds))
         use_dialog_accum = (accum is not None
                             and epoch % cfg.epoch_switch != 0)
+        state = (_hydrate_accum(state) if use_dialog_accum
+                 else _strip_accum(state))
         if use_weighted_loss:
             step_weights = epoch_parity_weights(cw, jnp.asarray(epoch),
                                                 cfg.epoch_switch)
@@ -234,8 +254,9 @@ def train_network(train_step, eval_step, state: TrainState,
 
             if preempt["flag"]:
                 checkpoints.save_latest(
-                    state, {"epoch": epoch, "step": int(state.step),
-                            "val_loss": prev_val_loss, "preempted": True})
+                    _strip_accum(state),
+                    {"epoch": epoch, "step": int(state.step),
+                     "val_loss": prev_val_loss, "preempted": True})
                 callbacks.log({"preempted": True, "epoch": epoch,
                                "step": int(state.step)})
                 epoch_broken = True
@@ -268,8 +289,9 @@ def train_network(train_step, eval_step, state: TrainState,
                     patience_iter = 0
                     prev_val_loss = val_loss
                     checkpoints.save_best(
-                        state, {"epoch": epoch, "step": int(state.step),
-                                "val_loss": val_loss})
+                        _strip_accum(state),
+                        {"epoch": epoch, "step": int(state.step),
+                         "val_loss": val_loss})
                 else:
                     patience_iter += 1
                     if patience_iter >= cfg.patience:
@@ -278,7 +300,7 @@ def train_network(train_step, eval_step, state: TrainState,
 
         # best-checkpoint reload each epoch (train_model/tav_train.py:143)
         if checkpoints.has_best():
-            state, _meta = checkpoints.restore_best(state)
+            state, _meta = checkpoints.restore_best(_strip_accum(state))
             state = reshard(state)
         if epoch_broken or patience_iter >= cfg.patience:
             break

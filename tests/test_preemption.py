@@ -51,7 +51,9 @@ def test_sigterm_saves_latest_and_stops(tmp_path):
            batch_transform=trigger)
     assert fired["n"] < 40
     assert ckpts.has_latest()
-    _, meta = ckpts.restore_latest(state)
+    # the loop stores the stripped structure (no accum buffer)
+    stripped = state.replace(accum_grads=None)
+    _, meta = ckpts.restore_latest(stripped)
     assert meta["preempted"] is True
 
 
@@ -59,9 +61,11 @@ def test_resume_prefers_latest_over_best(tmp_path):
     cfg, train_ds, val_ds, test_ds, state, train_step, eval_step = \
         _setup(tmp_path, epoch=3, patience=10_000)
     ckpts = CheckpointManager(cfg.checkpoint_dir)
-    # best from epoch 0; latest (preempted) from epoch 2
-    ckpts.save_best(state, {"epoch": 0, "val_loss": 0.9})
-    marked = state.replace(step=state.step + 123)
+    # best from epoch 0; latest (preempted) from epoch 2 — checkpoints
+    # carry the loop's stripped structure (no accum buffer)
+    stripped = state.replace(accum_grads=None)
+    ckpts.save_best(stripped, {"epoch": 0, "val_loss": 0.9})
+    marked = stripped.replace(step=state.step + 123)
     ckpts.save_latest(marked, {"epoch": 2, "val_loss": 0.8,
                                "preempted": True})
 
