@@ -81,16 +81,7 @@ def main():
     if os.environ.get("BENCH_SCAN", "0") == "1":
         # scan-over-layers: ~L× faster compiles (first compile through the
         # remote tunnel is minutes); step-time impact measured vs unrolled
-        def scan_enc(e):
-            return _dc.replace(e, scan_layers=True)
-        spec = _dc.replace(
-            spec,
-            text=_dc.replace(spec.text, encoder=scan_enc(spec.text.encoder)),
-            audio=_dc.replace(spec.audio,
-                              encoder=scan_enc(spec.audio.encoder)),
-            video=_dc.replace(spec.video,
-                              encoder=scan_enc(spec.video.encoder)),
-            fusion=scan_enc(spec.fusion))
+        spec = spec.with_scan_layers()
     remat_mode = os.environ.get("BENCH_REMAT", "conv")  # conv|av|full
     full_remat = (True if remat_mode == "full"
                   else "av" if remat_mode == "av" else False)

@@ -78,11 +78,12 @@ def run_classifier(cfg: ExperimentConfig,
     tx = make_optimizer(
         cosine_warm_restarts(cfg.learning_rate, cfg.T_max, steps_per_epoch),
         cfg.weight_decay, cfg.clip, trainable_mask)
-    # the fp32 accumulation buffer (a full params-sized tree) is only
-    # needed for dialog-aligned accumulation — datasets without dialog ids
-    # skip it and get the HBM back
+    # no accumulation buffer at creation: train_network hydrates the
+    # params-sized fp32 tree per dialog-accum epoch and strips it
+    # otherwise (allocating it here would only add a transient HBM peak
+    # during init/compile — epoch 0 is never a dialog-accum epoch)
     state = TrainState.create(init_params, tx, batch_stats=batch_stats,
-                              use_accum=train_ds.dialog_ids is not None)
+                              use_accum=False)
     train_step = make_train_step(
         apply_fn, tx, num_classes=num_classes, rng_names=rng_names,
         has_batch_stats=batch_stats is not None, has_aux_loss=has_aux_loss)

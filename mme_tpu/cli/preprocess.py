@@ -77,13 +77,38 @@ def _wav_frames(path: str) -> int:
         return 0
 
 
+def _label_map(base, values, kind):
+    """Known strings keep the reference ids; unknown ones (other datasets,
+    e.g. IEMOCAP's frustrated/excited) get fresh ids after the known
+    range, loudly — never a silent collapse onto id 0."""
+    mapping = dict(base)
+    unknown = sorted({v for v in values if v not in mapping})
+    if unknown:
+        nxt = max(mapping.values()) + 1
+        for u in unknown:
+            mapping[u] = nxt
+            nxt += 1
+        print(f"WARNING: {kind} labels not in the reference map get new "
+              f"ids: { {u: mapping[u] for u in unknown} }", flush=True)
+    return mapping
+
+
 def build_frame(args):
     import pandas as pd
 
     rows = []
-    for csv_path in args.csvs:
-        split = args.split or _infer_split(csv_path)
-        df = pd.read_csv(csv_path, sep=args.sep)
+    frames = [(args.split or _infer_split(p), pd.read_csv(p, sep=args.sep))
+              for p in args.csvs]
+    emo_map = _label_map(
+        MELD_EMOTION_IDS,
+        [str(v).strip().lower() for _, d in frames
+         for v in d[args.emotion_col]], "emotion")
+    sent_map = _label_map(
+        MELD_SENTIMENT_IDS,
+        [str(v).strip().lower() for _, d in frames
+         if args.sentiment_col in d.columns
+         for v in d[args.sentiment_col]], "sentiment")
+    for split, df in frames:
         for _, r in df.iterrows():
             dialog = int(r[args.dialog_col])
             utt = int(r[args.utterance_col])
@@ -103,9 +128,9 @@ def build_frame(args):
                 "text": str(r[args.text_col]),
                 "audio_path": audio_path,
                 "video_path": video_path,
-                "emotion": MELD_EMOTION_IDS.get(emo, 0),
+                "emotion": emo_map[emo],
                 "emotion_label": emo,
-                "sentiment": MELD_SENTIMENT_IDS.get(sent, 0),
+                "sentiment": sent_map.get(sent, 0),
                 "sentiment_label": sent,
                 "dialog": dialog,
                 "utterance": utt,
@@ -122,6 +147,10 @@ def build_frame(args):
 def main(argv=None):
     args = _parse(argv)
     df = build_frame(args)
+    if len(df) == 0:
+        raise SystemExit("preprocess: no rows produced (empty CSVs or "
+                         "everything filtered) — refusing to write "
+                         f"{args.out}")
     df.to_pickle(args.out)
     by_split = df.groupby("split").size().to_dict()
     print(f"wrote {args.out}: {len(df)} rows, splits={by_split}",

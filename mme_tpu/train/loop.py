@@ -163,6 +163,15 @@ def train_network(train_step, eval_step, state: TrainState,
         return s.replace(
             accum_grads=jax.tree.map(jnp.zeros_like, s.params))
 
+    def _restore_flex(restore_fn, s):
+        """Restore with the stripped structure; fall back to the full
+        structure for checkpoints written before stripping existed."""
+        try:
+            return restore_fn(_strip_accum(s))
+        except ValueError:
+            restored, meta = restore_fn(_hydrate_accum(s))
+            return _strip_accum(restored), meta
+
     if checkpoints is None:
         checkpoints = CheckpointManager(cfg.checkpoint_dir)
     start_epoch = 0
@@ -170,11 +179,11 @@ def train_network(train_step, eval_step, state: TrainState,
         # prefer the preemption "latest" slot (newer than best) — the
         # graceful-drain checkpoint below; else the best slot
         if getattr(checkpoints, "has_latest", lambda: False)():
-            state, meta = checkpoints.restore_latest(_strip_accum(state))
+            state, meta = _restore_flex(checkpoints.restore_latest, state)
             prev_val_loss = float(meta.get("val_loss", prev_val_loss))
             start_epoch = int(meta.get("epoch", 0))
         elif checkpoints.has_best():
-            state, meta = checkpoints.restore_best(_strip_accum(state))
+            state, meta = _restore_flex(checkpoints.restore_best, state)
             prev_val_loss = float(meta.get("val_loss", prev_val_loss))
     state = reshard(state)
 
@@ -300,7 +309,7 @@ def train_network(train_step, eval_step, state: TrainState,
 
         # best-checkpoint reload each epoch (train_model/tav_train.py:143)
         if checkpoints.has_best():
-            state, _meta = checkpoints.restore_best(_strip_accum(state))
+            state, _meta = _restore_flex(checkpoints.restore_best, state)
             state = reshard(state)
         if epoch_broken or patience_iter >= cfg.patience:
             break

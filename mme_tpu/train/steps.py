@@ -4,7 +4,11 @@ One compiled program implements every loop variant in the reference
 (``train_model/tav_train.py:52-120`` not_grad_accum/grad_accum and the
 single/double-model trainers): the epoch-parity loss switch arrives as a
 weight vector, dialog-aligned accumulation as a per-step ``apply_update``
-flag + ``loss_scale``, so no retracing across policy phases.
+flag + ``loss_scale``, so policy phases never retrace. One exception: the
+accumulation BUFFER is hydrated only on dialog-accum epochs (its HBM
+traffic costs ~19% step time, BASELINE.md), so dialog datasets compile
+two step structures — a one-time cost per shape, amortized by the
+persistent compile cache.
 
 TPU design: gradients accumulate in a buffer inside the train state
 (replacing the reference's redundant per-batch optimizer stepping,

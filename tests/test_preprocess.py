@@ -86,6 +86,37 @@ def test_preprocess_drops_bad_utterances(meld_setup, tmp_path):
     assert ((kept.dialog == 110) & (kept.utterance == 7)).any()
 
 
+def test_unknown_labels_get_fresh_ids_not_zero(meld_setup, tmp_path):
+    """IEMOCAP-style labels absent from the reference map must NOT all
+    collapse onto id 0 (that silently trains on all-neutral labels)."""
+    root, wav_dir = meld_setup
+    csv = root / "train_sent_emo.csv"
+    df = pd.read_csv(csv)
+    df.loc[df.index[:2], "Emotion"] = "Frustrated"
+    df.loc[df.index[2:4], "Emotion"] = "Excited"
+    df.to_csv(csv, index=False)
+    out = tmp_path / "iem.pkl"
+    built = preprocess.main([str(csv), "--out", str(out),
+                             "--audio_dir", str(wav_dir)])
+    frus = built[built.emotion_label == "frustrated"]["emotion"].unique()
+    exc = built[built.emotion_label == "excited"]["emotion"].unique()
+    known_max = 6  # anger, the top of the reference map
+    assert len(frus) == 1 and frus[0] > known_max
+    assert len(exc) == 1 and exc[0] > known_max
+    assert frus[0] != exc[0]
+
+
+def test_empty_input_refuses_to_write(tmp_path):
+    csv = tmp_path / "empty.csv"
+    pd.DataFrame(columns=["Utterance", "Emotion", "Sentiment",
+                          "Dialogue_ID", "Utterance_ID"]).to_csv(
+        csv, index=False)
+    out = tmp_path / "nope.pkl"
+    with pytest.raises(SystemExit, match="no rows"):
+        preprocess.main([str(csv), "--out", str(out)])
+    assert not out.exists()
+
+
 def test_preprocessed_pickle_trains_text_nn(meld_setup, tmp_path,
                                             monkeypatch):
     root, wav_dir = meld_setup
