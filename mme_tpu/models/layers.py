@@ -120,14 +120,16 @@ class MultiHeadAttention(nn.Module):
 
         if s.seq_mesh is not None and s.seq_axis is not None:
             from mme_tpu.ops.ring_attention import ring_attention
-            key_mask = None
+            key_bias = None
             if bias is not None:
                 assert bias.ndim == 4 and bias.shape[1] == 1 \
                     and bias.shape[2] == 1, \
-                    "ring attention supports key masks only"
-                key_mask = bias[:, 0, 0, :] > -1e4
+                    "ring attention supports per-key biases only"
+                # additive pass-through: exact dense-path numerics for
+                # soft AND hard key biases (no binarization)
+                key_bias = bias[:, 0, 0, :]
             out = ring_attention(q, k, v, s.seq_mesh, s.seq_axis,
-                                 key_mask=key_mask)
+                                 key_bias=key_bias)
         else:
             out = dot_product_attention(q, k, v, bias)
         if s.attention_dropout > 0.0:

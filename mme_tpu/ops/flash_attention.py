@@ -32,9 +32,21 @@ DEFAULT_BLOCK_K = 512
 
 
 def _block_sizes(seq_q: int, seq_k: int):
+    """Read MME_FLASH_BQ/BK at TRACE time (a jitted fn keeps the block
+    sizes it was compiled with — rebuild the jit to re-read). Invalid or
+    non-positive values fall back to the defaults instead of crashing
+    every attention call."""
     import os
-    bq = min(int(os.environ.get("MME_FLASH_BQ", DEFAULT_BLOCK_Q)), seq_q)
-    bk = min(int(os.environ.get("MME_FLASH_BK", DEFAULT_BLOCK_K)), seq_k)
+
+    def read(name, default):
+        try:
+            v = int(os.environ.get(name, default))
+        except (TypeError, ValueError):
+            return default
+        return v if v > 0 else default
+
+    bq = min(read("MME_FLASH_BQ", DEFAULT_BLOCK_Q), seq_q)
+    bk = min(read("MME_FLASH_BK", DEFAULT_BLOCK_K), seq_k)
     return bq, bk
 
 

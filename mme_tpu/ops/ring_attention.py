@@ -31,9 +31,10 @@ from jax.experimental.shard_map import shard_map
 NEG_INF = -1e30
 
 
-def _ring_attention_local(q, k, v, kmask, *, axis_name: str, scale: float):
+def _ring_attention_local(q, k, v, kbias, *, axis_name: str, scale: float):
     """Per-shard body. q: [B, H, Sq, D] (local query block), k/v:
-    [B, H, Sk, D] (local key block, rotated), kmask: [B, Sk] bool."""
+    [B, H, Sk, D] (local key block, rotated), kbias: [B, Sk] additive
+    fp32 (0 = attend, NEG_INF-scale = masked, anything between = soft)."""
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -47,7 +48,7 @@ def _ring_attention_local(q, k, v, kmask, *, axis_name: str, scale: float):
     def body(_, carry):
         k_c, v_c, km_c, m, l, acc = carry
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_c.astype(jnp.float32))
-        s = jnp.where(km_c[:, None, None, :], s, NEG_INF)
+        s = s + km_c[:, None, None, :]
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -62,22 +63,32 @@ def _ring_attention_local(q, k, v, kmask, *, axis_name: str, scale: float):
         return k_c, v_c, km_c, m, l, acc
 
     _, _, _, m, l, acc = jax.lax.fori_loop(
-        0, n, body, (k, v, kmask, m, l, acc))
+        0, n, body, (k, v, kbias, m, l, acc))
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    mesh: Mesh, axis: str = "sp",
-                   key_mask: Optional[jax.Array] = None) -> jax.Array:
+                   key_mask: Optional[jax.Array] = None,
+                   key_bias: Optional[jax.Array] = None) -> jax.Array:
     """Exact attention with q/k/v sequence-sharded over ``mesh[axis]``.
 
     q, k, v: [B, H, S, D] (global view; S must divide by the axis size).
-    key_mask: optional [B, S] bool/int, 1 = attend. Returns [B, H, S, D]
-    with the same sequence sharding as the inputs.
+    key_mask: optional [B, S] bool/int, 1 = attend (hard mask).
+    key_bias: optional [B, S] ADDITIVE fp32 bias — supports soft biases
+    with exact dense-path numerics; mutually exclusive with key_mask.
+    Returns [B, H, S, D] with the same sequence sharding as the inputs.
     """
-    if key_mask is None:
-        key_mask = jnp.ones((q.shape[0], q.shape[2]), jnp.bool_)
-    key_mask = key_mask.astype(jnp.bool_)
+    assert key_mask is None or key_bias is None, \
+        "pass key_mask OR key_bias, not both"
+    if key_bias is None:
+        if key_mask is None:
+            key_bias = jnp.zeros((q.shape[0], q.shape[2]), jnp.float32)
+        else:
+            key_bias = jnp.where(key_mask.astype(jnp.bool_), 0.0,
+                                 NEG_INF).astype(jnp.float32)
+    else:
+        key_bias = key_bias.astype(jnp.float32)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     fn = shard_map(
         functools.partial(_ring_attention_local, axis_name=axis,
@@ -86,4 +97,4 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         in_specs=(P(None, None, axis, None), P(None, None, axis, None),
                   P(None, None, axis, None), P(None, axis)),
         out_specs=P(None, None, axis, None))
-    return fn(q, k, v, key_mask)
+    return fn(q, k, v, key_bias)

@@ -29,19 +29,19 @@ from jax.experimental.shard_map import shard_map
 
 
 def stack_encoder_params(encoder_params: Any, n_layers: int) -> Any:
-    """[{'layer_0': t0, ...}] → pytree with a stacked leading layer dim.
+    """[{'layer_0': t0, ...}] → pytree with a stacked leading layer dim
+    (delegates to models.layers.to_scan_params — one stacking
+    implementation for scan mode and pipelining)."""
+    from mme_tpu.models.layers import to_scan_params
 
-    Takes the param dict of a ``models.layers.TransformerEncoder`` (per-layer
-    subtrees named ``layer_i``) and stacks them to [L, ...] so the layer axis
-    can be split across pipeline stages."""
-    layers = [encoder_params[f"layer_{i}"] for i in range(n_layers)]
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+    return to_scan_params(encoder_params, n_layers)["layers_scan"]["block"]
 
 
 def unstack_to_encoder_params(stacked: Any, n_layers: int) -> Any:
     """Inverse of :func:`stack_encoder_params` (static layer count)."""
-    return {f"layer_{i}": jax.tree.map(lambda x: x[i], stacked)
-            for i in range(n_layers)}
+    from mme_tpu.models.layers import from_scan_params
+
+    return from_scan_params({"layers_scan": {"block": stacked}}, n_layers)
 
 
 def pipeline_apply(stage_fn: Callable[[Any, jax.Array, Optional[jax.Array]],
@@ -69,7 +69,10 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array, Optional[jax.Array]],
         # scan carries need concrete arrays; thread a 0-size dummy
         micro_bias = jnp.zeros((M, 1), microbatches.dtype)
 
-    params_spec = jax.tree.map(lambda _: P(axis), stage_params)
+    # rank-aware: scalar leaves replicate (matches shard_stage_params)
+    params_spec = jax.tree.map(
+        lambda p: P(axis) if getattr(p, "ndim", 0) >= 1 else P(),
+        stage_params)
 
     def per_device(params: Any, mbs: jax.Array, biases: jax.Array
                    ) -> jax.Array:
@@ -134,7 +137,11 @@ def encoder_stage_fn(spec: Any) -> Callable:
     """Stage function for ``models.layers.TransformerEncoder`` stages.
 
     ``spec`` is the full EncoderSpec; each stage applies
-    ``spec.layers // P`` blocks from its stacked [k, ...] param slice."""
+    ``spec.layers // P`` blocks from its stacked [k, ...] param slice.
+    Stages run deterministic (no dropout rngs are threaded through the
+    pipeline schedule — asserted by pipeline_encoder_apply); scan/sp modes
+    are cleared (the pipeline owns the layer axis, and a nested sp
+    shard_map inside the pp shard_map is unsupported)."""
     import dataclasses
 
     from mme_tpu.models.layers import TransformerEncoder
@@ -142,7 +149,9 @@ def encoder_stage_fn(spec: Any) -> Callable:
     def stage(params: Any, x: jax.Array, bias: Optional[jax.Array]
               ) -> jax.Array:
         k = jax.tree.leaves(params)[0].shape[0]
-        sub_spec = dataclasses.replace(spec, layers=k, final_ln=False)
+        sub_spec = dataclasses.replace(spec, layers=k, final_ln=False,
+                                       scan_layers=False, seq_mesh=None,
+                                       seq_axis=None)
         sub_params = unstack_to_encoder_params(params, k)
         return TransformerEncoder(sub_spec).apply(
             {"params": sub_params}, x, bias, deterministic=True)
@@ -157,8 +166,14 @@ def pipeline_encoder_apply(spec: Any, encoder_params: Any,
     """Pipeline a whole TransformerEncoder forward: split [B] into
     microbatches, stack/shard the layer params into stages, stream.
 
-    Matches ``TransformerEncoder(spec).apply`` (with ``final_ln=False``)
-    up to float tolerance; used by tests and the multichip dryrun."""
+    Matches ``TransformerEncoder(spec).apply`` up to float tolerance
+    (incl. the final LayerNorm, applied after the pipeline from the
+    ``final_ln`` params). Stages are deterministic-only: dropout rngs
+    aren't threaded through the schedule (asserted below), so use for
+    inference/eval or dropout-free training stacks."""
+    assert spec.dropout == 0.0 and spec.attention_dropout == 0.0, (
+        "pipeline stages run deterministic=True — dropout would be "
+        "silently disabled; set spec dropout rates to 0")
     n_stages = mesh.shape[axis]
     assert spec.layers % n_stages == 0, (
         f"{spec.layers} layers not divisible into {n_stages} stages")
@@ -177,4 +192,11 @@ def pipeline_encoder_apply(spec: Any, encoder_params: Any,
         micro_bias = bias.reshape((n_microbatches, mb) + bias.shape[1:])
     out = pipeline_apply(encoder_stage_fn(spec), staged, micro_x, mesh,
                          axis, micro_bias)
-    return out.reshape((B,) + out.shape[2:])
+    out = out.reshape((B,) + out.shape[2:])
+    if spec.final_ln:
+        ln = encoder_params["final_ln"]
+        mu = out.mean(axis=-1, keepdims=True)
+        var = ((out - mu) ** 2).mean(axis=-1, keepdims=True)
+        out = (out - mu) / jnp.sqrt(var + spec.ln_eps)
+        out = out * ln["scale"] + ln["bias"]
+    return out

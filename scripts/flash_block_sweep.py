@@ -58,9 +58,9 @@ def main():
                    (128, 512)):
         os.environ["MME_FLASH_BQ"] = str(bq)
         os.environ["MME_FLASH_BK"] = str(bk)
-        import importlib
+        # env vars are read at trace time; make_fwdbwd builds a fresh
+        # jitted fn per config, which is what picks them up
         import mme_tpu.ops.flash_attention as fa
-        importlib.reload(fa)
         fl = make_fwdbwd(lambda q_, k_, v_: fa.flash_attention(q_, k_, v_,
                                                                None))
         try:

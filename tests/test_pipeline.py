@@ -98,3 +98,32 @@ def test_pipeline_under_jit():
     out = run(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_applies_final_layernorm():
+    """final_ln=True specs must include the trailing LayerNorm (review
+    finding: it used to be silently dropped)."""
+    import dataclasses
+
+    spec, enc, params, x = make_encoder(layers=4)
+    spec_ln = dataclasses.replace(spec, final_ln=True)
+    enc_ln = TransformerEncoder(spec_ln)
+    params_ln = enc_ln.init(jax.random.PRNGKey(5), x)["params"]
+    ref = enc_ln.apply({"params": params_ln}, x, deterministic=True)
+    mesh = pp_mesh(4)
+    out = pipeline_encoder_apply(spec_ln, params_ln, x, mesh,
+                                 n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_rejects_dropout_specs():
+    import dataclasses
+
+    import pytest as _pytest
+
+    spec, enc, params, x = make_encoder(layers=4)
+    spec_do = dataclasses.replace(spec, dropout=0.1)
+    with _pytest.raises(AssertionError, match="deterministic"):
+        pipeline_encoder_apply(spec_do, params, x, pp_mesh(4),
+                               n_microbatches=4)

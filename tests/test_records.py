@@ -103,9 +103,10 @@ def test_build_audio_dataset(frame):
 
 def test_build_tav_dataset_missing_mp4_raises(frame):
     """mp4 decode is implemented (data/videodec.py); a missing file must
-    fail loudly, not silently produce zero frames."""
+    fail loudly with IOError, not silently produce zero frames (and NOT
+    NotImplementedError — that would mean decode regressed to a stub)."""
     cfg = PickleDatasetConfig(text_max_len=8, audio_max_samples=4000)
-    with pytest.raises((IOError, NotImplementedError)):
+    with pytest.raises(IOError):
         build_tav_dataset(frame, cfg, video_frames=2, video_size=16)
 
 

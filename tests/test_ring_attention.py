@@ -101,3 +101,43 @@ def test_encoder_with_ring_attention_matches_dense():
     out_r = ring.apply({"params": params}, x, bias)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_d),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_ring_attention_soft_key_bias_matches_dense():
+    """Soft (non-binary) additive key biases must pass through exactly —
+    the old path binarized them via `> -1e4` (review finding, fixed)."""
+    from mme_tpu.ops.attention import dot_product_attention
+
+    mesh = sp_mesh(4)
+    rng = np.random.RandomState(7)
+    B, Hh, S, D = 2, 2, 32, 8
+    q = jnp.asarray(rng.randn(B, Hh, S, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Hh, S, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Hh, S, D), jnp.float32)
+    soft = jnp.asarray(rng.randn(B, S) * 3.0, jnp.float32)  # in [-9, 9]
+
+    ring = ring_attention(q, k, v, mesh, key_bias=soft)
+    dense = dot_product_attention(q, k, v, soft[:, None, None, :],
+                                  use_flash=False)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_encoder_ring_soft_bias_matches_dense():
+    from mme_tpu.models.layers import EncoderSpec, TransformerEncoder
+
+    mesh = sp_mesh(4)
+    rng = np.random.RandomState(8)
+    B, S, H = 2, 32, 16
+    spec = EncoderSpec(hidden=H, heads=2, layers=2, intermediate=32,
+                       ln_style="pre", ln_eps=1e-6)
+    sp_spec = __import__("dataclasses").replace(spec, seq_mesh=mesh,
+                                                seq_axis="sp")
+    x = jnp.asarray(rng.randn(B, S, H), jnp.float32)
+    soft = jnp.asarray(rng.randn(B, 1, 1, S) * 2.0, jnp.float32)
+    dense = TransformerEncoder(spec)
+    params = dense.init(jax.random.PRNGKey(0), x, soft)["params"]
+    out_d = dense.apply({"params": params}, x, soft)
+    out_r = TransformerEncoder(sp_spec).apply({"params": params}, x, soft)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_d),
+                               rtol=3e-5, atol=3e-5)
