@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mme_tpu.ops.attention import dot_product_attention
+from mme_tpu.ops.attention import dot_product_attention_shd
 
 Dtype = Any
 
@@ -61,6 +61,17 @@ class EncoderSpec:
     # (ops/ring_attention.py) — for sequences one chip can't hold.
     seq_mesh: Any = None
     seq_axis: Optional[str] = None
+    # Mesh axis the BATCH dim is sharded over, for composing sp/pp with dp
+    # (e.g. a ("dp","sp") mesh): the inner shard_maps must declare it or
+    # the dp sharding would be all-gathered at their boundary.
+    batch_axis: Optional[str] = None
+    # Pipeline parallelism: when both are set the layer stack executes as a
+    # GPipe pipeline over ``pp_mesh[pp_axis]`` with ``pp_micro`` microbatches
+    # (parallel/pipeline.py) — params are created in the normal unrolled
+    # layout, so checkpoints/pretrained trees are pipeline-agnostic.
+    pp_mesh: Any = None
+    pp_axis: Optional[str] = None
+    pp_micro: int = 4
 
 
 def activation(name: str) -> Callable[[jax.Array], jax.Array]:
@@ -114,11 +125,12 @@ class MultiHeadAttention(nn.Module):
                                s.dtype).reshape(3, 1, 1)
             qkv = qkv + bias_init.astype(s.dtype) * mask
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # unpack → 3 × [B, S, heads, D]
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
 
-        if s.seq_mesh is not None and s.seq_axis is not None:
+        if (s.seq_mesh is not None and s.seq_axis is not None
+                and not self.is_initializing()):
+            # (init traces with whatever example batch the caller has —
+            # often batch 1, indivisible by a dp axis; the attention core
+            # has no params, so the dense path initializes identically)
             from mme_tpu.ops.ring_attention import ring_attention
             key_bias = None
             if bias is not None:
@@ -127,17 +139,35 @@ class MultiHeadAttention(nn.Module):
                     "ring attention supports per-key biases only"
                 # additive pass-through: exact dense-path numerics for
                 # soft AND hard key biases (no binarization)
-                key_bias = bias[:, 0, 0, :]
-            out = ring_attention(q, k, v, s.seq_mesh, s.seq_axis,
-                                 key_bias=key_bias)
+                key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+            # pad the sequence to a multiple of the sp axis (the fused TAV
+            # sequence, e.g. 473, rarely divides the ring): padded keys get
+            # a -inf bias, padded query rows are sliced off after
+            n_sp = s.seq_mesh.shape[s.seq_axis]
+            pad = (-S) % n_sp
+            if pad:
+                if key_bias is None:
+                    key_bias = jnp.zeros((B, S), jnp.float32)
+                key_bias = jnp.pad(key_bias, ((0, 0), (0, pad)),
+                                   constant_values=-1e30)
+            qt, kt, vt = (jnp.pad(a.transpose(0, 2, 1, 3),
+                                  ((0, 0), (0, 0), (0, pad), (0, 0)))
+                          if pad else a.transpose(0, 2, 1, 3)
+                          for a in (q, k, v))
+            out = ring_attention(qt, kt, vt,
+                                 s.seq_mesh, s.seq_axis, key_bias=key_bias,
+                                 batch_axis=s.batch_axis)
+            out = out[:, :, :S].transpose(0, 2, 1, 3)
         else:
-            out = dot_product_attention(q, k, v, bias)
+            # head-minor end to end: the flash kernel packs head pairs from
+            # this layout with a single relayout (ops/flash_attention.py)
+            out = dot_product_attention_shd(q, k, v, bias)
         if s.attention_dropout > 0.0:
             # HF applies dropout on probs; as a capability we apply it on the
             # attention output (equivalent regularization, kernel-fusable).
             out = nn.Dropout(rate=s.attention_dropout)(
                 out, deterministic=deterministic)
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, s.hidden)
+        out = out.reshape(B, S, s.hidden)
         return nn.Dense(s.hidden, use_bias=s.out_bias, dtype=s.dtype,
                         param_dtype=s.param_dtype, name="out")(out)
 
@@ -217,6 +247,23 @@ class TransformerEncoder(nn.Module):
     def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
                  *, deterministic: bool = True) -> jax.Array:
         s = self.spec
+        if (s.pp_mesh is not None and s.pp_axis is not None
+                and not self.is_initializing()):
+            # GPipe execution over the pp mesh axis (parallel/pipeline.py).
+            # Params were created by the normal unrolled path at init; read
+            # this module's subtree and stream it through the pipeline.
+            # Dropout keys come from the standard flax "dropout" rng.
+            from mme_tpu.parallel.pipeline import pipeline_encoder_apply
+            assert not s.scan_layers, "pp_mesh and scan_layers are exclusive"
+            has_dropout = s.dropout > 0.0 or s.attention_dropout > 0.0
+            rng = (self.make_rng("dropout")
+                   if (not deterministic and has_dropout
+                       and self.has_rng("dropout")) else None)
+            return pipeline_encoder_apply(
+                s, dict(self.variables["params"]), x, s.pp_mesh, s.pp_axis,
+                n_microbatches=s.pp_micro, bias=bias, rng=rng,
+                deterministic=deterministic if rng is None else None,
+                batch_axis=s.batch_axis)
         block_cls = EncoderBlock
         if s.remat:
             # static_argnums counts the checkpointed core_fn's args

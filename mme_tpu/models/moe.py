@@ -138,12 +138,21 @@ class MoEMlp(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros_init(),
                         (E, H), s.param_dtype)
         if m.ep_axis is not None:
-            con = lambda p: jax.lax.with_sharding_constraint(
-                p, jax.sharding.PartitionSpec(m.ep_axis))
-            try:
+            # detect the ambient mesh explicitly instead of swallowing
+            # errors: a real sharding failure (non-divisible experts, axis
+            # typo) must propagate, only the legitimate no-mesh case skips
+            from jax._src.mesh import thread_resources
+            ambient = thread_resources.env.physical_mesh
+            if not ambient.empty and m.ep_axis in ambient.axis_names:
+                con = lambda p: jax.lax.with_sharding_constraint(
+                    p, jax.sharding.PartitionSpec(m.ep_axis))
                 w1, b1, w2, b2 = con(w1), con(b1), con(w2), con(b2)
-            except Exception:
-                pass  # no mesh in context → single-device
+            elif not ambient.empty:
+                import warnings
+                warnings.warn(
+                    f"MoEMlp: ep_axis={m.ep_axis!r} not in ambient mesh "
+                    f"axes {ambient.axis_names} — running without expert "
+                    "parallelism")
 
         # [B,S,H] ⊗ [B,S,E,C] → expert buffers [E, B·C', H]; keep B so the
         # all-to-all stays batched: [B,S,E,C] × [B,S,H] → [E,B,C,H]

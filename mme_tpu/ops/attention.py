@@ -48,6 +48,16 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _decide_flash(seq: int, head_dim: int, bias) -> bool:
+    on_tpu = jax.default_backend() == "tpu"
+    bias_ok = bias is None or (bias.ndim == 4 and bias.shape[1] == 1
+                               and bias.shape[2] == 1)
+    # measured on v5e (tests + /tmp/flash_bench.py): flash wins ≥1.3×
+    # fwd and ≥1.6× bwd from ~1k tokens; XLA wins below ~512
+    return (on_tpu and seq >= 1024 and head_dim in (64, 128) and bias_ok
+            and os.environ.get("MME_FLASH", "1") != "0")
+
+
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: Optional[jax.Array] = None,
                           *,
@@ -59,16 +69,36 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     is long enough to pay for it and head_dim is lane-aligned.
     """
     if use_flash is None:
-        on_tpu = jax.default_backend() == "tpu"
-        seq = q.shape[-2]
-        bias_ok = bias is None or (bias.ndim == 4 and bias.shape[1] == 1
-                                   and bias.shape[2] == 1)
-        # measured on v5e (tests + /tmp/flash_bench.py): flash wins ≥1.3×
-        # fwd and ≥1.6× bwd from ~1k tokens; XLA wins below ~512
-        use_flash = (on_tpu and seq >= 1024 and q.shape[-1] in (64, 128)
-                     and bias_ok
-                     and os.environ.get("MME_FLASH", "1") != "0")
+        use_flash = _decide_flash(q.shape[-2], q.shape[-1], bias)
     if use_flash:
         from mme_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, bias)
     return _xla_attention(q, k, v, bias, softmax_dtype)
+
+
+def dot_product_attention_shd(q: jax.Array, k: jax.Array, v: jax.Array,
+                              bias: Optional[jax.Array] = None,
+                              *,
+                              use_flash: Optional[bool] = None,
+                              softmax_dtype=jnp.float32) -> jax.Array:
+    """Head-minor attention core: q,k,v [B, S, H, D] → [B, S, H, D].
+
+    This is the layout the fused QKV projection produces and the output
+    projection consumes — using it end-to-end removes two relayouts per
+    attention layer on the flash path (the kernel packs head pairs itself,
+    see ops/flash_attention.py).
+    """
+    if use_flash is None:
+        use_flash = _decide_flash(q.shape[1], q.shape[-1], bias)
+    if use_flash:
+        from mme_tpu.ops.flash_attention import flash_attention_shd
+        return flash_attention_shd(q, k, v, bias)
+    depth = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, softmax_dtype))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=softmax_dtype) * scale
+    if bias is not None:
+        logits = logits + bias.astype(softmax_dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)

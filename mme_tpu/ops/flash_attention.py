@@ -8,12 +8,28 @@ the running max/denominator in VMEM (forward) and recomputes probabilities
 from the saved logsumexp (backward) — standard FA2 with an additive
 key-bias (our modality/padding masks are all key masks, [B, S_k]).
 
+TPU layout design (round 3 — this is where the HBM traffic went in round 2):
+
+- **Head packing.** Every encoder in the zoo has head_dim 64 and an even
+  head count; Mosaic pads a 64-wide lane dimension to 128, doubling the
+  VMEM footprint and HBM traffic of every q/k/v/o/do/dq/dk/dv buffer
+  (BASELINE.md attributes ~0.9 GB/layer of padded bwd buffers and the
+  batch-16 OOM to this). We pack PAIRS of heads into one 128-lane operand
+  ``[B*H/2, S, 128]`` and run two independent 64-dim softmax streams per
+  kernel instance — all buffers are lane-exact, zero padding.
+- **Lane-major softmax state.** lse/delta were ``[BH, S, 1]`` — a minor
+  dim of 1 that Mosaic pads 1→128 (a 128× buffer expansion). They are now
+  ``[G, PACK, S]`` with the sequence on lanes; the kernels transpose the
+  tiny [PACK, bq] tile in-register where a column view is needed.
+- **Head-minor API.** ``flash_attention_shd`` takes ``[B, S, H, D]`` —
+  the layout the fused QKV projection already produces — so packing is a
+  single relayout (the same cost the old [B,H,S,D] transpose paid) and
+  the unpacked output lands directly in ``[B, S, H*D]`` for the output
+  projection. No extra transposes anywhere in the layer.
+
 Both passes are Pallas kernels wired through ``jax.custom_vjp``; numerics
 are validated against the XLA reference path in interpret mode
 (tests/test_flash_attention.py) and on hardware by the benchmark.
-
-Layout: q, k, v are [B, H, S, D] with D ∈ {64, 128}; fp32 softmax state;
-matmuls hit the MXU via ``preferred_element_type=float32``.
 """
 
 from __future__ import annotations
@@ -27,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LSE_MASKED = 1e30  # lse sentinel for fully-masked rows: exp(s - 1e30) == 0
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
@@ -50,102 +67,145 @@ def _block_sizes(seq_q: int, seq_k: int):
     return bq, bk
 
 
+def _compiler_params(*semantics):
+    return pltpu.CompilerParams(dimension_semantics=semantics)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                scale: float, block_k: int, seq_k: int):
-    q = q_ref[0].astype(jnp.float32) * scale        # [bq, d]
-    bq, d = q.shape
+                scale: float, block_k: int, seq_k: int, pack: int,
+                head_dim: int):
+    q = q_ref[0].astype(jnp.float32) * scale        # [bq, pack*d]
+    bq = q.shape[0]
+    d = head_dim
     num_kb = pl.cdiv(seq_k, block_k)
 
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc = jnp.zeros((bq, d), jnp.float32)
+    init = tuple(jnp.full((bq, 1), NEG_INF, jnp.float32) for _ in range(pack)) \
+        + tuple(jnp.zeros((bq, 1), jnp.float32) for _ in range(pack)) \
+        + tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(pack))
 
     def body(kb, carry):
-        m, l, acc = carry
+        ms, ls, accs = carry[:pack], carry[pack:2 * pack], carry[2 * pack:]
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(
-            jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [bq, bk]
-        s = s + b[None, :]
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_new, l, acc
+        b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        new = []
+        for h in range(pack):
+            qh = q[:, h * d:(h + 1) * d]
+            kh = k[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [bq, bk]
+            s = s + b[None, :]
+            m_new = jnp.maximum(ms[h], s.max(axis=-1, keepdims=True))
+            alpha = jnp.exp(ms[h] - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = ls[h] * alpha + p.sum(axis=-1, keepdims=True)
+            vh = v[:, h * d:(h + 1) * d]
+            acc_new = accs[h] * alpha + jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            new.append((m_new, l_new, acc_new))
+        return tuple(x[0] for x in new) + tuple(x[1] for x in new) \
+            + tuple(x[2] for x in new)
 
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
-    l_safe = jnp.where(l > 0, l, 1.0)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)
+    out = jax.lax.fori_loop(0, num_kb, body, init)
+    ms, ls, accs = out[:pack], out[pack:2 * pack], out[2 * pack:]
+    outs, lses = [], []
+    for h in range(pack):
+        l_safe = jnp.where(ls[h] > 0, ls[h], 1.0)
+        outs.append(accs[h] / l_safe)
+        # fully-masked rows: +inf sentinel so the bwd recompute yields p=0
+        # (m + log l would be -inf, making exp(s - lse) overflow)
+        lses.append(jnp.where(ls[h] > 0, ms[h] + jnp.log(l_safe),
+                              LSE_MASKED))
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    # [bq, pack] -> [pack, bq]: sequence on lanes in HBM (no minor-1 dim)
+    lse_ref[0] = jnp.concatenate(lses, axis=1).T
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, *, scale: float, block_k: int, seq_k: int):
-    q = q_ref[0].astype(jnp.float32)                # [bq, d]
+               dq_ref, *, scale: float, block_k: int, seq_k: int, pack: int,
+               head_dim: int):
+    q = q_ref[0].astype(jnp.float32)                # [bq, pack*d]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                                # [bq, 1]
-    delta = delta_ref[0]
-    bq, d = q.shape
+    lse_cols = lse_ref[0].T                          # [pack,bq] -> [bq,pack]
+    delta_cols = delta_ref[0].T
+    bq = q.shape[0]
+    d = head_dim
     num_kb = pl.cdiv(seq_k, block_k)
 
-    def body(kb, dq):
+    def body(kb, dqs):
         k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(
-            jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + b[None, :]
-        p = jnp.exp(s - lse)                        # [bq, bk]
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        new = []
+        for h in range(pack):
+            qh = q[:, h * d:(h + 1) * d]
+            kh = k[:, h * d:(h + 1) * d]
+            vh = v[:, h * d:(h + 1) * d]
+            doh = do[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + b[None, :]
+            p = jnp.exp(s - lse_cols[:, h:h + 1])    # [bq, bk]
+            dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta_cols[:, h:h + 1])
+            new.append(dqs[h] + jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return tuple(new)
 
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    init = tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(pack))
+    dqs = jax.lax.fori_loop(0, num_kb, body, init)
+    dq_ref[0] = (jnp.concatenate(dqs, axis=1) * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, scale: float, block_q: int, seq_q: int):
-    k = k_ref[0].astype(jnp.float32)                # [bk, d]
+                dk_ref, dv_ref, *, scale: float, block_q: int, seq_q: int,
+                pack: int, head_dim: int):
+    """dk/dv for one k-tile. s is computed TRANSPOSED ([bk, bq], keys on
+    sublanes) so the per-query lse/delta rows broadcast for free and every
+    contraction lands on the MXU without relayouts."""
+    k = k_ref[0].astype(jnp.float32)                # [bk, pack*d]
     v = v_ref[0].astype(jnp.float32)
-    b = bias_ref[0, 0].astype(jnp.float32)          # [bk]
-    bk, d = k.shape
+    b_col = bias_ref[0].astype(jnp.float32).T        # [1,bk] -> [bk,1]
+    bk = k.shape[0]
+    d = head_dim
     num_qb = pl.cdiv(seq_q, block_q)
 
     def body(qb, carry):
-        dk, dv = carry
+        dks, dvs = carry[:pack], carry[pack:]
         q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * block_q, block_q)]
-        delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + b[None, :]
-        p = jnp.exp(s - lse)                        # [bq, bk]
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        new_k, new_v = [], []
+        for h in range(pack):
+            qh = q[:, h * d:(h + 1) * d]
+            kh = k[:, h * d:(h + 1) * d]
+            vh = v[:, h * d:(h + 1) * d]
+            doh = do[:, h * d:(h + 1) * d]
+            lse_row = lse_ref[0, h:h + 1, pl.ds(qb * block_q, block_q)]
+            delta_row = delta_ref[0, h:h + 1, pl.ds(qb * block_q, block_q)]
+            s_t = jax.lax.dot_general(kh, qh, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)                       # [bq, bk]
-        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        return dk, dv
+            s_t = s_t * scale + b_col                # [bk, bq]
+            p_t = jnp.exp(s_t - lse_row)
+            new_v.append(dvs[h] + jax.lax.dot_general(
+                p_t, doh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp_t = jax.lax.dot_general(vh, doh, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            ds_t = p_t * (dp_t - delta_row)
+            new_k.append(dks[h] + jax.lax.dot_general(
+                ds_t, qh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return tuple(new_k) + tuple(new_v)
 
-    dk0 = jnp.zeros((bk, d), jnp.float32)
-    dv0 = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    init = tuple(jnp.zeros((bk, d), jnp.float32) for _ in range(2 * pack))
+    out = jax.lax.fori_loop(0, num_qb, body, init)
+    dks, dvs = out[:pack], out[pack:]
+    dk_ref[0] = (jnp.concatenate(dks, axis=1) * scale).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -161,139 +221,200 @@ def _pad_seq(x, target, value=0.0):
     return jnp.pad(x, cfg, constant_values=value)
 
 
-def _fwd(q, k, v, bias_k, *, interpret=False):
-    B, H, Sq0, D = q.shape
-    Sk0 = k.shape[2]
+def _pack_factor(H: int, D: int) -> int:
+    """Heads packed per 128-lane operand. D=64 + even H → 2 (lane-exact);
+    anything else → 1 (D=128 is already lane-exact; odd-H D=64 pays the
+    legacy VMEM padding but stays correct)."""
+    return 2 if (D == 64 and H % 2 == 0) else 1
+
+
+def _pack_heads(x, pack):
+    """[B, S, H, D] → [B*H//pack, S, pack*D]. Adjacent heads share a
+    128-lane operand; the reshape is free (H·D contiguous), the transpose
+    is the same relayout the old [B,H,S,D] layout paid."""
+    B, S, H, D = x.shape
+    G = H // pack
+    return x.reshape(B, S, G, pack * D).transpose(0, 2, 1, 3).reshape(
+        B * G, S, pack * D)
+
+
+def _unpack_heads(x, B, H, D, pack):
+    """[B*H//pack, S, pack*D] → [B, S, H, D]."""
+    G = H // pack
+    S = x.shape[1]
+    return x.reshape(B, G, S, pack * D).transpose(0, 2, 1, 3).reshape(
+        B, S, H, D)
+
+
+def _fwd_packed(q, k, v, bias_k, head_dim, pack, interpret):
+    G, Sq0, PD = q.shape
+    B = bias_k.shape[0]
+    gpb = G // B                                     # head-groups per batch
+    Sk0 = k.shape[1]
     bq, bk = _block_sizes(Sq0, Sk0)
     # pad both sequence axes to block multiples; padded keys get NEG_INF
     # bias (ignored by softmax), padded queries are sliced off the output
     Sq, Sk = _round_up(Sq0, bq), _round_up(Sk0, bk)
-    scale = 1.0 / (D ** 0.5)
-    BH = B * H
-    qr = _pad_seq(q.reshape(BH, Sq0, D), Sq)
-    kr = _pad_seq(k.reshape(BH, Sk0, D), Sk)
-    vr = _pad_seq(v.reshape(BH, Sk0, D), Sk)
-    bias_k = _pad_seq(bias_k, Sk, NEG_INF)[:, None, :]  # [B, 1, Sk]
-    grid = (BH, pl.cdiv(Sq, bq))
+    scale = 1.0 / (head_dim ** 0.5)
+    qr = _pad_seq(q, Sq)
+    kr = _pad_seq(k, Sk)
+    vr = _pad_seq(v, Sk)
+    bias = _pad_seq(bias_k, Sk, NEG_INF)[:, None, :]  # [B, 1, Sk]
+    grid = (G, pl.cdiv(Sq, bq))
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=bk, seq_k=Sk),
+        functools.partial(_fwd_kernel, scale=scale, block_k=bk, seq_k=Sk,
+                          pack=pack, head_dim=head_dim),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Sk), lambda b, i: (b // H, 0, 0)),
+            pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, Sk, PD), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, Sk, PD), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda g, i, gpb=gpb: (g // gpb, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, pack, bq), lambda g, i: (g, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, Sq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G, Sq, PD), q.dtype),
+            jax.ShapeDtypeStruct((G, pack, Sq), jnp.float32),
         ],
+        compiler_params=_compiler_params("parallel", "parallel"),
         interpret=interpret,
-    )(qr, kr, vr, bias_k)
-    return out[:, :Sq0].reshape(B, H, Sq0, D), lse[:, :Sq0, 0]
+    )(qr, kr, vr, bias)
+    return out[:, :Sq0], lse[:, :, :Sq0]
 
 
-def _bwd(q, k, v, bias_k, out, lse, do, *, interpret=False):
-    B, H, Sq0, D = q.shape
-    Sk0 = k.shape[2]
+def _bwd_packed(q, k, v, bias_k, out, lse, do, head_dim, pack, interpret):
+    G, Sq0, PD = q.shape
+    B = bias_k.shape[0]
+    gpb = G // B
+    Sk0 = k.shape[1]
     bq, bk = _block_sizes(Sq0, Sk0)
     Sq, Sk = _round_up(Sq0, bq), _round_up(Sk0, bk)
-    scale = 1.0 / (D ** 0.5)
-    BH = B * H
-    qr = _pad_seq(q.reshape(BH, Sq0, D), Sq)
-    kr = _pad_seq(k.reshape(BH, Sk0, D), Sk)
-    vr = _pad_seq(v.reshape(BH, Sk0, D), Sk)
-    bias_k = _pad_seq(bias_k, Sk, NEG_INF)[:, None, :]  # [B, 1, Sk]
-    outr = _pad_seq(out.reshape(BH, Sq0, D), Sq)
-    dor = _pad_seq(do.reshape(BH, Sq0, D), Sq)
-    lse = _pad_seq(lse, Sq)[..., None]                  # [BH, Sq, 1]
-    delta = (outr.astype(jnp.float32) *
-             dor.astype(jnp.float32)).sum(-1, keepdims=True)
+    scale = 1.0 / (head_dim ** 0.5)
+    qr = _pad_seq(q, Sq)
+    kr = _pad_seq(k, Sk)
+    vr = _pad_seq(v, Sk)
+    bias = _pad_seq(bias_k, Sk, NEG_INF)[:, None, :]  # [B, 1, Sk]
+    dor = _pad_seq(do, Sq)
+    # lse [G, pack, Sq0]: pad the SEQUENCE axis (axis 2) with the masked
+    # sentinel so padded-query rows recompute p = 0
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, Sq - Sq0)),
+                    constant_values=LSE_MASKED)
+    # delta_h = sum_d(out_h * do_h), per packed head, sequence on lanes
+    of = out.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    d = head_dim
+    delta = jnp.stack(
+        [(of[..., h * d:(h + 1) * d] * dof[..., h * d:(h + 1) * d]).sum(-1)
+         for h in range(pack)], axis=1)               # [G, pack, Sq0]
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Sq - Sq0)))
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, block_k=bk, seq_k=Sk),
-        grid=(BH, pl.cdiv(Sq, bq)),
+        functools.partial(_dq_kernel, scale=scale, block_k=bk, seq_k=Sk,
+                          pack=pack, head_dim=head_dim),
+        grid=(G, pl.cdiv(Sq, bq)),
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Sk, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, Sk), lambda b, i: (b // H, 0, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, Sk, PD), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, Sk, PD), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda g, i, gpb=gpb: (g // gpb, 0, 0)),
+            pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, pack, bq), lambda g, i: (g, 0, i)),
+            pl.BlockSpec((1, pack, bq), lambda g, i: (g, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, Sq, PD), q.dtype),
+        compiler_params=_compiler_params("parallel", "parallel"),
         interpret=interpret,
-    )(qr, kr, vr, bias_k, dor, lse, delta)
+    )(qr, kr, vr, bias, dor, lse_p, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=bq, seq_q=Sq),
-        grid=(BH, pl.cdiv(Sk, bk)),
+        functools.partial(_dkv_kernel, scale=scale, block_q=bq, seq_q=Sq,
+                          pack=pack, head_dim=head_dim),
+        grid=(G, pl.cdiv(Sk, bk)),
         in_specs=[
-            pl.BlockSpec((1, Sq, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, j: (b // H, 0, j)),
-            pl.BlockSpec((1, Sq, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, Sq, 1), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, Sq, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, Sq, PD), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, bk, PD), lambda g, j: (g, j, 0)),
+            pl.BlockSpec((1, bk, PD), lambda g, j: (g, j, 0)),
+            pl.BlockSpec((1, 1, bk), lambda g, j, gpb=gpb: (g // gpb, 0, j)),
+            pl.BlockSpec((1, Sq, PD), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, pack, Sq), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, pack, Sq), lambda g, j: (g, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, PD), lambda g, j: (g, j, 0)),
+            pl.BlockSpec((1, bk, PD), lambda g, j: (g, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
-            jax.ShapeDtypeStruct((BH, Sk, D), v.dtype),
+            jax.ShapeDtypeStruct((G, Sk, PD), k.dtype),
+            jax.ShapeDtypeStruct((G, Sk, PD), v.dtype),
         ],
+        compiler_params=_compiler_params("parallel", "parallel"),
         interpret=interpret,
-    )(qr, kr, vr, bias_k, dor, lse, delta)
+    )(qr, kr, vr, bias, dor, lse_p, delta)
 
-    return (dq[:, :Sq0].reshape(B, H, Sq0, D),
-            dk[:, :Sk0].reshape(B, H, Sk0, D),
-            dv[:, :Sk0].reshape(B, H, Sk0, D))
+    return dq[:, :Sq0], dk[:, :Sk0], dv[:, :Sk0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, interpret, bias_k):
-    out, _ = _fwd(q, k, v, bias_k, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, head_dim, pack, interpret, bias_k):
+    out, _ = _fwd_packed(q, k, v, bias_k, head_dim, pack, interpret)
     return out
 
 
-def _flash_fwd(q, k, v, interpret, bias_k):
-    out, lse = _fwd(q, k, v, bias_k, interpret=interpret)
+def _flash_fwd(q, k, v, head_dim, pack, interpret, bias_k):
+    out, lse = _fwd_packed(q, k, v, bias_k, head_dim, pack, interpret)
     return out, (q, k, v, bias_k, out, lse)
 
 
-def _flash_bwd(interpret, res, do):
+def _flash_bwd(head_dim, pack, interpret, res, do):
     q, k, v, bias_k, out, lse = res
-    dq, dk, dv = _bwd(q, k, v, bias_k, out, lse, do, interpret=interpret)
+    dq, dk, dv = _bwd_packed(q, k, v, bias_k, out, lse, do, head_dim, pack,
+                             interpret)
     return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    bias: Optional[jax.Array] = None,
-                    *, interpret: bool = False) -> jax.Array:
-    """softmax(QK^T/sqrt(D) + bias)V with fused kernels.
+def flash_attention_shd(q: jax.Array, k: jax.Array, v: jax.Array,
+                        bias: Optional[jax.Array] = None,
+                        *, interpret: bool = False) -> jax.Array:
+    """softmax(QK^T/sqrt(D) + bias)V, head-minor layout.
 
+    q: [B, Sq, H, D]; k, v: [B, Sk, H, D]; returns [B, Sq, H, D].
     ``bias``: None or a key-mask bias broadcastable from [B, 1, 1, S_k]
     (what ``ops.attention.additive_mask`` produces). General [B, H, Sq, Sk]
     biases are not supported here — the dispatcher falls back to XLA.
     """
-    B, H, Sq, D = q.shape
-    Sk = k.shape[2]
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
     if bias is None:
         bias_k = jnp.zeros((B, Sk), jnp.float32)
     else:
         assert bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1, (
             f"flash_attention supports key-mask bias only, got {bias.shape}")
         bias_k = bias[:, 0, 0, :].astype(jnp.float32)
-    return _flash(q, k, v, interpret, bias_k)
+    pack = _pack_factor(H, D)
+    qp = _pack_heads(q, pack)
+    kp = _pack_heads(k, pack)
+    vp = _pack_heads(v, pack)
+    out = _flash(qp, kp, vp, D, pack, interpret, bias_k)
+    return _unpack_heads(out, B, H, D, pack)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    bias: Optional[jax.Array] = None,
+                    *, interpret: bool = False) -> jax.Array:
+    """Back-compat entry: q, k, v [B, H, S, D] → [B, H, S, D].
+
+    Prefer :func:`flash_attention_shd` — it avoids one relayout per tensor
+    by taking the head-minor layout the QKV projection produces.
+    """
+    out = flash_attention_shd(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3),
+                              bias, interpret=interpret)
+    return out.transpose(0, 2, 1, 3)

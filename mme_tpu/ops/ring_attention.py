@@ -70,13 +70,17 @@ def _ring_attention_local(q, k, v, kbias, *, axis_name: str, scale: float):
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    mesh: Mesh, axis: str = "sp",
                    key_mask: Optional[jax.Array] = None,
-                   key_bias: Optional[jax.Array] = None) -> jax.Array:
+                   key_bias: Optional[jax.Array] = None,
+                   batch_axis: Optional[str] = None) -> jax.Array:
     """Exact attention with q/k/v sequence-sharded over ``mesh[axis]``.
 
     q, k, v: [B, H, S, D] (global view; S must divide by the axis size).
     key_mask: optional [B, S] bool/int, 1 = attend (hard mask).
     key_bias: optional [B, S] ADDITIVE fp32 bias — supports soft biases
     with exact dense-path numerics; mutually exclusive with key_mask.
+    batch_axis: mesh axis the BATCH dim is sharded over (dp×sp
+    composition) — without it a dp-sharded batch would be all-gathered at
+    the shard_map boundary. None = batch replicated.
     Returns [B, H, S, D] with the same sequence sharding as the inputs.
     """
     assert key_mask is None or key_bias is None, \
@@ -90,11 +94,12 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     else:
         key_bias = key_bias.astype(jnp.float32)
     scale = 1.0 / (q.shape[-1] ** 0.5)
+    b = batch_axis
     fn = shard_map(
         functools.partial(_ring_attention_local, axis_name=axis,
                           scale=scale),
         mesh=mesh,
-        in_specs=(P(None, None, axis, None), P(None, None, axis, None),
-                  P(None, None, axis, None), P(None, axis)),
-        out_specs=P(None, None, axis, None))
+        in_specs=(P(b, None, axis, None), P(b, None, axis, None),
+                  P(b, None, axis, None), P(b, axis)),
+        out_specs=P(b, None, axis, None))
     return fn(q, k, v, key_bias)

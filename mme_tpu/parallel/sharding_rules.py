@@ -46,7 +46,11 @@ def tp_spec_for_path(path: tuple, leaf: Any, mp_axis: str = "mp") -> P:
 
 def shard_params_tp(params: Any, mesh: Mesh, mp_axis: str = "mp") -> Any:
     """device_put a param tree with TP rules; non-divisible or non-matching
-    leaves replicate."""
+    leaves replicate. A mesh without an ``mp_axis`` axis (e.g. dp×sp or
+    dp×pp) replicates everything — TP is simply off."""
+    if mp_axis not in mesh.axis_names:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
     mp = mesh.shape[mp_axis]
 
     def put(path, x):

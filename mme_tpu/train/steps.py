@@ -57,17 +57,31 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(lr_schedule: Callable, weight_decay: float,
                    clip: float,
-                   trainable_mask: Any = None) -> optax.GradientTransformation:
+                   trainable_mask: Any = None,
+                   state_dtype: Optional[str] = None
+                   ) -> optax.GradientTransformation:
     """clip-by-global-norm → AdamW (torch defaults: b1=.9 b2=.999 eps=1e-8).
 
     ``trainable_mask``: pytree of bools marking trainable leaves — the
     reference's ``requires_grad`` filtering (frozen backbones,
-    ``SingleModels/models/image.py:36-37``) expressed as optax masking."""
-    tx = optax.chain(
-        optax.clip_by_global_norm(clip),
-        optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=weight_decay),
-    )
+    ``SingleModels/models/image.py:36-37``) expressed as optax masking.
+
+    ``state_dtype``: "fp32" (default) or "bf16" — bf16 stores the Adam
+    moments in bfloat16 with stochastic rounding (train/optim.py), halving
+    optimizer-state HBM traffic and capacity (~17 GB/step → ~12 for the
+    605M-param flagship, BASELINE.md). ``None`` reads ``MME_OPT_STATE``.
+    """
+    import os
+    if state_dtype is None:
+        state_dtype = os.environ.get("MME_OPT_STATE", "fp32")
+    if state_dtype == "bf16":
+        from mme_tpu.train.optim import adamw_lowmem
+        adamw = adamw_lowmem(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
+                             weight_decay=weight_decay)
+    else:
+        adamw = optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
+                            weight_decay=weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(clip), adamw)
     if trainable_mask is not None:
         # NOT optax.masked(tx, mask): masked passes the untouched raw
         # gradient through for mask=False leaves, so "frozen" params would

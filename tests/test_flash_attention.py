@@ -89,3 +89,71 @@ def test_multi_block_padded_seq():
     for a, b, name in zip(g_fl, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+def test_shd_entry_matches_bhsd():
+    """flash_attention_shd ([B,S,H,D], the packed-head fast path) must equal
+    the [B,H,S,D] entry and the XLA reference."""
+    from mme_tpu.ops.flash_attention import flash_attention_shd
+    B, H, S, D = 2, 4, 200, 64   # even H -> pack=2
+    q, k, v = _qkv(5, B, H, S, D)
+    keep = np.ones((B, S), np.int32)
+    keep[1, 120:] = 0
+    bias = additive_mask(jnp.asarray(keep))
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention_shd(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3),
+                              bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_packed_heads_gradients():
+    """Even-H D=64 (pack=2, the production shape class) gradients."""
+    B, H, S, D = 2, 2, 300, 64
+    q, k, v = _qkv(6, B, H, S, D)
+    keep = np.ones((B, S), np.int32)
+    keep[0, 260:] = 0
+    bias = additive_mask(jnp.asarray(keep))
+    g_ref = jax.grad(lambda a, b, c: (_xla_attention(a, b, c, bias) ** 2
+                                      ).sum(), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda a, b, c: (flash_attention(a, b, c, bias,
+                                                     interpret=True) ** 2
+                                     ).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fl, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_fully_masked_row_yields_zero_grads():
+    """A batch row with EVERY key masked must produce zero output and
+    finite (zero) gradients — the lse sentinel path (round-2 latent bug:
+    lse=-inf made the bwd recompute exp(s+inf)=NaN)."""
+    B, H, S, D = 2, 2, 128, 64
+    q, k, v = _qkv(7, B, H, S, D)
+    keep = np.ones((B, S), np.int32)
+    keep[1, :] = 0                      # row 1 fully masked
+    bias = additive_mask(jnp.asarray(keep))
+    out = flash_attention(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0, atol=1e-6)
+    g = jax.grad(lambda a, b, c: (flash_attention(a, b, c, bias,
+                                                  interpret=True) ** 2
+                                  ).sum(), argnums=(0, 1, 2))(q, k, v)
+    for t, name in zip(g, "qkv"):
+        arr = np.asarray(t)
+        assert np.isfinite(arr).all(), f"d{name} has non-finite values"
+        np.testing.assert_allclose(arr[1], 0.0, atol=1e-6,
+                                   err_msg=f"d{name} row-1 not zero")
+
+
+def test_bf16_inputs():
+    """bf16 q/k/v (the bench dtype) through the packed path."""
+    B, H, S, D = 1, 2, 256, 64
+    q, k, v = _qkv(8, B, H, S, D)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = _xla_attention(qb, kb, vb, None)
+    out = flash_attention(qb, kb, vb, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
