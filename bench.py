@@ -62,6 +62,10 @@ def main():
 
     import jax.numpy as jnp_  # local alias for the dtype switch
 
+    # bf16 Adam moments (rbg-noise stochastic rounding, train/optim.py) are
+    # the measured-best default: 32.6 vs 32.2 utt/s fp32 at batch 8, and
+    # ~4.8 GB less HBM (MME_OPT_STATE=fp32 reverts)
+    os.environ.setdefault("MME_OPT_STATE", "bf16")
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     audio_len = int(os.environ.get("BENCH_AUDIO_LEN", "96000"))  # 6 s
     text_len = 70
@@ -71,9 +75,14 @@ def main():
     if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
         spec = spec.with_compute_dtype(jnp_.bfloat16)
     # conv-only remat measured fastest at batch 8 (BASELINE.md): the conv
-    # stack's activations are the HBM hog; encoder activations fit
+    # stack's activations are the HBM hog; encoder activations fit.
+    # BENCH_REMAT=none disables even that — viable once bf16 opt state +
+    # the flash head-packing freed ~4 GB (saves ~0.5 TFLOP bwd recompute)
     import dataclasses as _dc
-    spec = _dc.replace(spec, audio=_dc.replace(spec.audio, remat_conv=True))
+    remat_mode = os.environ.get("BENCH_REMAT", "conv")  # none|conv|av|full
+    if remat_mode != "none":
+        spec = _dc.replace(spec,
+                           audio=_dc.replace(spec.audio, remat_conv=True))
     if os.environ.get("BENCH_SHARE", "1") == "1":
         # one conv frontend for PreFormer + audio tower (ablation: the
         # duplicate conv stack is ~5% of the step)
@@ -82,7 +91,6 @@ def main():
         # scan-over-layers: ~L× faster compiles (first compile through the
         # remote tunnel is minutes); step-time impact measured vs unrolled
         spec = spec.with_scan_layers()
-    remat_mode = os.environ.get("BENCH_REMAT", "conv")  # conv|av|full
     full_remat = (True if remat_mode == "full"
                   else "av" if remat_mode == "av" else False)
     cfg = ExperimentConfig(batch_size=batch_size, learning_rate=5e-6,

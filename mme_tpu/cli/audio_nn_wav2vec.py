@@ -39,20 +39,23 @@ def main(argv=None):
         return model.apply(variables, batch["waveform"], batch["audio_mask"],
                            deterministic=deterministic, rngs=rngs)
 
-    import os
-    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
-    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+    from mme_tpu.cli.common import resolve_pickle
+    pkl = resolve_pickle(cfg.dataset)
+    if pkl is not None:
         # reference pickle path: wav paths decoded by the native loader,
         # audio_shape filter as in SingleModels/audio_nn.py:115
         import pandas as pd
         from mme_tpu.data.records import (PickleDatasetConfig, apply_filters,
                                           build_audio_dataset,
-                                          split_dataframe)
+                                          build_label_map, split_dataframe)
         df = pd.read_pickle(pkl)
         rcfg = PickleDatasetConfig(label_col=cfg.label_task,
                                    audio_max_samples=audio_len,
                                    min_audio_shape=10000, seed=cfg.seed)
         df = apply_filters(df, rcfg)
+        # label ids factorize over the FULL (post-filter) frame so a class
+        # missing from one split cannot shift val/test ids
+        rcfg.label_map = build_label_map(df, rcfg.label_col)
         tr, va, te = split_dataframe(df, rcfg)
         train_ds, val_ds, test_ds = (build_audio_dataset(x, rcfg)
                                      for x in (tr, va, te))
@@ -80,7 +83,7 @@ def main(argv=None):
     # disables). The reference pads per batch dynamically (models/tav.py:228)
     # — on TPU that would recompile every batch.
     batch_iter = None
-    buckets_env = os.environ.get("MME_BUCKETS", "")
+    buckets_env = _os.environ.get("MME_BUCKETS", "")
     if buckets_env != "off":
         from mme_tpu.data.dataset import BucketedBatchIter
         if buckets_env:

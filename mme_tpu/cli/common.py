@@ -32,10 +32,18 @@ MELD_EMOTIONS = ["neutral", "joy", "sadness", "anger", "surprise",
 MELD_SENTIMENTS = ["neutral", "positive", "negative"]
 IEMOCAP_6 = ["neutral", "frustrated", "angry", "sad", "happy", "excited"]
 HATEFUL = ["not_hateful", "hateful"]
+# MUStARD++ sarcasm (binary; the reference prepares it in
+# notebooks/Mustard++.ipynb / SarcasmVideo.ipynb — "multi-modal-sarcasm"
+# mmsd utterances — but ships no trainer for it; here it is a first-class
+# --label_task on every entry point)
+MUSTARD_SARCASM = ["not_sarcastic", "sarcastic"]
 
 
 def label_names(dataset: str, label_task: str, output_dim: int):
-    if "iemocap" in dataset.lower():
+    if label_task == "sarcasm" or "mustard" in dataset.lower() \
+            or "sarcasm" in dataset.lower():
+        names = MUSTARD_SARCASM
+    elif "iemocap" in dataset.lower():
         names = IEMOCAP_6
     elif label_task == "sentiment":
         names = MELD_SENTIMENTS
@@ -47,6 +55,22 @@ def label_names(dataset: str, label_task: str, output_dim: int):
     while len(names) < output_dim:
         names.append(f"class_{len(names)}")
     return {i: n for i, n in enumerate(names)}
+
+
+def resolve_pickle(dataset: str) -> Optional[str]:
+    """--dataset → pickle path, or None for the synthetic smoke data.
+    A NAMED dataset whose pickle is missing raises — falling through to
+    synthetic data would train and report metrics on noise with no
+    signal that the path was a typo."""
+    import os
+    if dataset == "synthetic":
+        return None
+    pkl = dataset if dataset.endswith(".pkl") else f"{dataset}.pkl"
+    if not os.path.exists(pkl):
+        raise FileNotFoundError(
+            f"dataset pickle {pkl!r} not found (--dataset {dataset!r}); "
+            "use --dataset synthetic for random smoke data")
+    return pkl
 
 
 def print_log(d: Dict[str, float]) -> None:
@@ -64,8 +88,13 @@ def run_classifier(cfg: ExperimentConfig,
                    trainable_mask=None,
                    rng_names: Tuple[str, ...] = ("dropout",),
                    batch_iter=None,
-                   has_aux_loss: bool = False) -> Dict[str, float]:
-    """The generic runModel: wire optimizer/steps/metrics/loop and train."""
+                   has_aux_loss: bool = False,
+                   mesh=None) -> Dict[str, float]:
+    """The generic runModel: wire optimizer/steps/metrics/loop and train.
+
+    ``mesh``: a caller-built mesh (e.g. cli/tav_nn.py's dp×sp / dp×pp from
+    MME_SP/MME_PP) — overrides the auto dp(×mp) mesh below. The batch is
+    sharded over its "dp" axis."""
     num_classes = cfg.output_dim
     id2label = label_names(cfg.dataset, cfg.label_task, num_classes)
     metric = Metrics(num_classes, id2label)
@@ -84,12 +113,21 @@ def run_classifier(cfg: ExperimentConfig,
     # during init/compile — epoch 0 is never a dialog-accum epoch)
     state = TrainState.create(init_params, tx, batch_stats=batch_stats,
                               use_accum=False)
+    # --loss flag of record: CrossEntropy/NewCrossEntropy (parity-switched
+    # weights), FBeta (+--beta), Precision (hyper_parameter_config/loss.yaml)
+    from mme_tpu.train.losses import make_loss_fn
+    loss_fn = make_loss_fn(cfg.loss, cfg.beta)
+    import os
     train_step = make_train_step(
         apply_fn, tx, num_classes=num_classes, rng_names=rng_names,
-        has_batch_stats=batch_stats is not None, has_aux_loss=has_aux_loss)
+        has_batch_stats=batch_stats is not None, has_aux_loss=has_aux_loss,
+        loss_fn=loss_fn,
+        # MME_LOG_NORMS=1 → per-module grad/weight norms in every train
+        # log line (reference wandb.watch(log="all"), tav_nn.py:103-104)
+        log_module_norms=os.environ.get("MME_LOG_NORMS") == "1")
     eval_step = make_eval_step(apply_fn, num_classes=num_classes,
                                has_batch_stats=batch_stats is not None,
-                               has_aux_loss=has_aux_loss)
+                               has_aux_loss=has_aux_loss, loss_fn=loss_fn)
 
     # every run leaves a JSONL metrics trail next to its checkpoints (the
     # reference's wandb.log stream; MME_RUN_DIR overrides the location)
@@ -110,12 +148,9 @@ def run_classifier(cfg: ExperimentConfig,
     # multi-device: dp(×mp) mesh over all devices when the global batch
     # splits evenly (cfg.mesh; MME_MESH=off disables). The reference's
     # "distributed sampler on each GPU" intent (tav_nn.py:29-33), built.
-    mesh = None
     n_dev = len(jax.devices())
-    if batch_iter is not None:
-        if n_dev > 1:
-            print("mesh disabled: length-bucketed batching active",
-                  flush=True)
+    if mesh is not None:
+        pass  # caller-built (sp/pp) mesh wins
     elif n_dev > 1 and os.environ.get("MME_MESH", "on") != "off":
         mp = max(cfg.mesh.model, 1)
         dp = cfg.mesh.data if cfg.mesh.data != -1 else n_dev // mp

@@ -41,8 +41,13 @@ def _parse(argv):
                    help="force one split name for all inputs")
     p.add_argument("--audio_dir", default=None)
     p.add_argument("--video_dir", default=None)
-    p.add_argument("--audio_pattern", default="dia{dialog}_utt{utterance}.wav")
-    p.add_argument("--video_pattern", default="dia{dialog}_utt{utterance}.mp4")
+    p.add_argument("--audio_pattern", default="dia{dialog}_utt{utterance}.wav",
+                   help="media filename pattern; {split} is available "
+                        "(MELD ids restart per split — multi-split builds "
+                        "need it, e.g. '{split}/dia{dialog}_utt{utterance}"
+                        ".wav')")
+    p.add_argument("--video_pattern", default="dia{dialog}_utt{utterance}.mp4",
+                   help="see --audio_pattern")
     p.add_argument("--text_col", default="Utterance")
     p.add_argument("--emotion_col", default="Emotion")
     p.add_argument("--sentiment_col", default="Sentiment")
@@ -51,6 +56,10 @@ def _parse(argv):
     p.add_argument("--speaker_col", default=None,
                    help="speaker boolean column (IEMOCAP crop); absent for "
                         "MELD")
+    p.add_argument("--sarcasm_col", default=None,
+                   help="MUStARD++ sarcasm column (0/1 or TRUE/FALSE); "
+                        "emits 'sarcasm'/'sarcasm_label' columns usable "
+                        "as --label_task sarcasm")
     p.add_argument("--sep", default=",", help="CSV separator")
     p.add_argument("--keep_bad", action="store_true",
                    help="keep dia110_utt7/dia125_utt3 (the reference "
@@ -99,6 +108,24 @@ def build_frame(args):
     rows = []
     frames = [(args.split or _infer_split(p), pd.read_csv(p, sep=args.sep))
               for p in args.csvs]
+    # MELD dialogue/utterance ids RESTART per split: with a split-blind
+    # media pattern, train.csv's dia0_utt0 and test.csv's dia0_utt0 would
+    # silently resolve to the SAME file — media duplicated across splits
+    # (train/test leakage) and audio_shape probed from the wrong wav.
+    # Track path→split and fail loudly on any cross-split collision.
+    seen_media = {}
+
+    def _claim(path, split):
+        prev = seen_media.setdefault(path, split)
+        if prev != split:
+            raise SystemExit(
+                f"preprocess: media path {path!r} is claimed by both the "
+                f"{prev!r} and {split!r} splits (MELD ids restart per "
+                "split). Put {split} in --audio_pattern/--video_pattern "
+                "(e.g. '{split}/dia{dialog}_utt{utterance}.wav') or run "
+                "one split per invocation with --split and per-split "
+                "media dirs.")
+        return path
     emo_map = _label_map(
         MELD_EMOTION_IDS,
         [str(v).strip().lower() for _, d in frames
@@ -118,13 +145,22 @@ def build_frame(args):
             emo = str(r[args.emotion_col]).strip().lower()
             sent = str(r.get(args.sentiment_col, "neutral")).strip().lower()
             fmt = dict(dialog=dialog, utterance=utt, name=name, split=split)
-            audio_path = (os.path.join(
-                args.audio_dir, args.audio_pattern.format(**fmt))
+            audio_path = (_claim(os.path.join(
+                args.audio_dir, args.audio_pattern.format(**fmt)), split)
                 if args.audio_dir else "")
-            video_path = (os.path.join(
-                args.video_dir, args.video_pattern.format(**fmt))
+            video_path = (_claim(os.path.join(
+                args.video_dir, args.video_pattern.format(**fmt)), split)
                 if args.video_dir else "")
+            row_extra = {}
+            if args.sarcasm_col:
+                sar = str(r[args.sarcasm_col]).strip().lower()
+                sar_id = 1 if sar in ("1", "true", "yes", "sarcastic",
+                                      "1.0") else 0
+                row_extra["sarcasm"] = sar_id
+                row_extra["sarcasm_label"] = ("sarcastic" if sar_id
+                                              else "not_sarcastic")
             rows.append({
+                **row_extra,
                 "text": str(r[args.text_col]),
                 "audio_path": audio_path,
                 "video_path": video_path,

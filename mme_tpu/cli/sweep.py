@@ -29,8 +29,9 @@ import tempfile
 def _parse(argv):
     p = argparse.ArgumentParser("mme_tpu sweep agent")
     p.add_argument("yaml", help="sweep config (reference format)")
-    p.add_argument("--entry", default="tav_nn",
-                   help="cli entry module (tav_nn, text_nn, ...)")
+    p.add_argument("--entry", default=None,
+                   help="cli entry module (tav_nn, text_nn, ...); default "
+                        "derives from the yaml's `program` field")
     p.add_argument("--trials", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dataset", default=None,
@@ -50,11 +51,27 @@ def _parse(argv):
     return p.parse_args(argv)
 
 
+def _entry_from_program(program):
+    """Derive the cli module from a sweep yaml's ``program`` field: accepts
+    our dotted paths (mme_tpu.cli.tav_nn) and the reference's script paths
+    (../tav_nn.py; ../audio_nn.py maps to the README name
+    audio_nn_wav2vec)."""
+    if not program:
+        return "tav_nn"
+    name = os.path.basename(str(program))
+    if name.endswith(".py"):
+        name = name[:-3]
+    name = name.split(".")[-1]
+    return {"audio_nn": "audio_nn_wav2vec"}.get(name, name)
+
+
 def _launch_workers(args):
     """Spawn one agent subprocess per worker and merge their results."""
     from mme_tpu.core.sweep import SweepConfig, TrialResult, best_of
 
     cfg = SweepConfig.from_yaml(args.yaml)
+    if args.entry is None:
+        args.entry = _entry_from_program(cfg.program)
     workers = max(1, args.workers)
     procs, files = [], []
     tmpdir = tempfile.mkdtemp(prefix="mme_sweep_")
@@ -106,6 +123,8 @@ def main(argv=None):
     from mme_tpu.core.sweep import SweepConfig, TrialResult, run_sweep
 
     cfg = SweepConfig.from_yaml(args.yaml)
+    if args.entry is None:
+        args.entry = _entry_from_program(cfg.program)
     entry = importlib.import_module(f"mme_tpu.cli.{args.entry}")
     results_f = open(args.results, "a") if args.results else None
 

@@ -42,10 +42,58 @@ def main(argv=None):
     if cfg.dataset == "synthetic" or _os.environ.get("MME_TINY"):
         spec = spec.tiny()
         audio_len, text_len = 2000, 16
+    if _os.environ.get("MME_DTYPE", "") in ("bfloat16", "bf16"):
+        # mixed precision from the CLI (bench.py's BENCH_DTYPE, promoted):
+        # params fp32, activations/matmuls bf16, softmax/LN fp32
+        spec = spec.with_compute_dtype(jnp.bfloat16)
+        print("compute dtype: bfloat16", flush=True)
 
     # -m selects the fusion architecture (reference tav_nn.py model flag;
     # 'MAE_encoder' is its default)
     model_cls = FUSION_MODELS.get(cfg.model, FUSION_MODELS["MAE_encoder"])
+
+    # Sequence/pipeline parallelism on the fusion trunk (beyond-reference
+    # scaling axes, SURVEY §5.7/§2.9): MME_SP=<n> runs the trunk's
+    # attention as ring attention sequence-sharded over n devices;
+    # MME_PP=<n> streams the trunk's layers as an n-stage GPipe pipeline
+    # (MME_PP_MICRO microbatches, default 4). Remaining devices form a dp
+    # axis; dp×sp / dp×pp compose. These change EXECUTION, not params —
+    # checkpoints and pretrained trees are unaffected.
+    mesh = None
+    sp = int(_os.environ.get("MME_SP", "0") or 0)
+    pp = int(_os.environ.get("MME_PP", "0") or 0)
+    if sp > 1 or pp > 1:
+        import dataclasses as _dc
+        assert not (sp > 1 and pp > 1), "MME_SP and MME_PP are exclusive"
+        n_dev = len(jax.devices())
+        par, axis = (sp, "sp") if sp > 1 else (pp, "pp")
+        assert n_dev % par == 0, f"{n_dev} devices not divisible by {par}"
+        dp = n_dev // par
+        assert cfg.batch_size % dp == 0, (
+            f"batch {cfg.batch_size} not divisible by dp={dp}")
+        from mme_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp, par, axis_names=("dp", axis))
+        if sp > 1:
+            fusion = _dc.replace(spec.fusion, seq_mesh=mesh, seq_axis="sp",
+                                 batch_axis="dp")
+        else:
+            micro = int(_os.environ.get("MME_PP_MICRO", "4"))
+            assert spec.fusion.layers % par == 0, (
+                f"{spec.fusion.layers} fusion layers not divisible into "
+                f"{par} stages")
+            # the global batch splits into microbatches FIRST, then each
+            # microbatch's rows shard over dp
+            assert cfg.batch_size % micro == 0 and \
+                (cfg.batch_size // micro) % dp == 0, (
+                    f"batch {cfg.batch_size} must split into {micro} "
+                    f"microbatches of a dp={dp} multiple (MME_PP_MICRO)")
+            fusion = _dc.replace(spec.fusion, pp_mesh=mesh, pp_axis="pp",
+                                 pp_micro=micro, batch_axis="dp")
+        spec = _dc.replace(spec, fusion=fusion)
+        print(f"fusion trunk {axis}={par} dp={dp} "
+              f"({'ring attention' if sp > 1 else 'GPipe pipeline'})",
+              flush=True)
+
     model = model_cls(spec)
     is_moe = cfg.model == "TAVMoE"
 
@@ -62,13 +110,14 @@ def main(argv=None):
         return model.apply(variables, batch, deterministic=deterministic,
                            rngs=rngs)
 
-    import os
-    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
-    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+    from mme_tpu.cli.common import resolve_pickle
+    pkl = resolve_pickle(cfg.dataset)
+    if pkl is not None:
         # reference pickle contract (tav_nn.py:146-163): split column,
         # dialog ids for accumulation, keyframe video via MME_KEYFRAME_GLOB
         import pandas as pd
-        from mme_tpu.data.records import (PickleDatasetConfig, get_tokenizer,
+        from mme_tpu.data.records import (PickleDatasetConfig,
+                                          build_label_map, get_tokenizer,
                                           build_tav_dataset, split_dataframe)
         df = pd.read_pickle(pkl)
         rcfg = PickleDatasetConfig(label_col=cfg.label_task,
@@ -79,12 +128,13 @@ def main(argv=None):
                                    # records + host→device copies; the
                                    # batch transform normalizes on device
                                    video_uint8=True)
+        rcfg.label_map = build_label_map(df, rcfg.label_col)
         tok = get_tokenizer(
             None if spec.text.vocab_size != 50265 else
             "j-hartmann/emotion-english-distilroberta-base",
             spec.text.vocab_size)
         tr, va, te = split_dataframe(df, rcfg)
-        kf = os.environ.get("MME_KEYFRAME_GLOB")
+        kf = _os.environ.get("MME_KEYFRAME_GLOB")
         train_ds, val_ds, test_ds = (
             build_tav_dataset(x, rcfg, spec.video.num_frames,
                               spec.video.image_size, tokenizer=tok,
@@ -120,7 +170,7 @@ def main(argv=None):
                           trainable_mask=modality_embedding_trainable_mask(
                               params, spec.learn_pos_embeddings),
                           rng_names=("dropout", "spec_augment"),
-                          has_aux_loss=is_moe)
+                          has_aux_loss=is_moe, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -23,17 +23,19 @@ from mme_tpu.models.text import BertClassifier, LSTMClassifier, TextEncoderSpec
 def _load_datasets(cfg, vocab_size, tokenizer=None):
     """Reference pickle when the path exists (utils/data_loaders.py:256-273
     BertDataset contract); synthetic otherwise."""
-    import os
-    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
-    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+    from mme_tpu.cli.common import resolve_pickle
+    pkl = resolve_pickle(cfg.dataset)
+    if pkl is not None:
         import pandas as pd
-        from mme_tpu.data.records import (PickleDatasetConfig, get_tokenizer,
+        from mme_tpu.data.records import (PickleDatasetConfig,
+                                          build_label_map, get_tokenizer,
                                           build_text_dataset,
                                           split_dataframe)
         df = pd.read_pickle(pkl)
         rcfg = PickleDatasetConfig(label_col=cfg.label_task,
                                    text_max_len=cfg.text_max_len,
                                    seed=cfg.seed)
+        rcfg.label_map = build_label_map(df, rcfg.label_col)
         # hash tokenizer must match the model's (possibly reduced) vocab
         tok = tokenizer or get_tokenizer(
             None if vocab_size != 50265 else

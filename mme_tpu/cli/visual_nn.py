@@ -54,13 +54,23 @@ def main(argv=None):
                            deterministic=deterministic, rngs=rngs)
 
     pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
-    if cfg.dataset != "synthetic" and os.path.exists(pkl):
+    if cfg.dataset != "synthetic":
+        # a named dataset whose pickle is missing is an ERROR — falling
+        # through to synthetic data would train and report metrics on
+        # noise with no signal that the path was a typo
+        if not os.path.exists(pkl):
+            raise FileNotFoundError(
+                f"dataset pickle {pkl!r} not found (--dataset "
+                f"{cfg.dataset!r}); use --dataset synthetic for random "
+                "smoke data")
         import pandas as pd
         from mme_tpu.data.records import (PickleDatasetConfig,
+                                          build_label_map,
                                           build_video_dataset,
                                           split_dataframe)
         df = pd.read_pickle(pkl)
         rcfg = PickleDatasetConfig(label_col=cfg.label_task, seed=cfg.seed)
+        rcfg.label_map = build_label_map(df, rcfg.label_col)
         kf = os.environ.get("MME_KEYFRAME_GLOB")
         train_ds, val_ds, test_ds = (
             build_video_dataset(x, rcfg, frames, size, keyframe_glob=kf)

@@ -104,6 +104,22 @@ class ExperimentConfig:
         return hidden_layer_count(self.hidden_layers)
 
 
+def _str2bool(v: Any) -> bool:
+    """Boolean flag parser. The reference uses ``type=bool``
+    (``utils/global_functions.py:275``), under which ``--mask False``
+    parses as True (any non-empty string is truthy) — its sweeps only
+    worked because wandb.config bypassed argv. Deliberate fix: parse the
+    words; the flag names/defaults (the contract) are unchanged."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "y", "t"):
+        return True
+    if s in ("false", "0", "no", "n", "f", ""):
+        return False
+    raise ValueError(f"expected a boolean, got {v!r}")
+
+
 def arg_parse(description: str, argv: Optional[Sequence[str]] = None):
     """Reference-compatible CLI parser (flags, shorts, defaults preserved)."""
     parser = ArgumentParser(description=f" Run experiments on {description} ")
@@ -123,7 +139,7 @@ def arg_parse(description: str, argv: Optional[Sequence[str]] = None):
                         help="Set the patience")
     parser.add_argument("--T_max", "-t", default=2, type=int,
                         help="Cosine warm-restart period")
-    parser.add_argument("--mask", "-ma", default=False, type=bool,
+    parser.add_argument("--mask", "-ma", default=False, type=_str2bool,
                         help="True/False on if we want to use masking in model")
     parser.add_argument("--loss", "-ls", default="NewCrossEntropy", type=str,
                         help="Which loss function to use")
@@ -146,19 +162,24 @@ def arg_parse(description: str, argv: Optional[Sequence[str]] = None):
                         help="Number of LSTM layers")
     parser.add_argument("--hidden_layers", "-o", default="32,32", type=str,
                         help="Dims of each hidden layer")
-    parser.add_argument("--early_div", "-ed", default=False, type=bool,
+    parser.add_argument("--early_div", "-ed", default=False, type=_str2bool,
                         help="Divide by sqrt(d) before (True) or after QK^T")
     parser.add_argument("--dropout", "-dr", default=0.5, type=float,
                         help="Dropout rate")
     parser.add_argument("--num_layers", "-nl", default=12, type=int,
                         help="Number of fusion transformer layers")
-    parser.add_argument("--learn_PosEmbeddings", "-lpe", default=True, type=bool,
+    parser.add_argument("--learn_PosEmbeddings", "-lpe", default=True, type=_str2bool,
                         help="Learn the modality/positional embeddings")
     return parser.parse_args(argv)
 
 
 def config_from_args(args: Any, **overrides: Any) -> ExperimentConfig:
-    """Build a typed config from an argparse namespace (or any attr bag)."""
+    """Build a typed config from an argparse namespace (or any attr bag).
+    Also the multi-host entry seam: every CLI calls this before touching
+    the JAX backend, so MME_COORDINATOR/MME_NUM_PROCESSES/MME_PROCESS_ID
+    (parallel/distributed.py) take effect here."""
+    from mme_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw.update(overrides)

@@ -181,15 +181,26 @@ class PickleDatasetConfig:
     # store video as raw uint8 (4× smaller records + host→device traffic);
     # ImageNet normalization then runs on device in the batch transform
     video_uint8: bool = False
+    # string-label → id map built ONCE over the full dataframe
+    # (build_label_map) so a class absent from one split cannot shift the
+    # ids of every later class in that split (train/val id misalignment)
+    label_map: Optional[Dict[str, int]] = None
 
 
 def split_dataframe(df, cfg: PickleDatasetConfig):
     """split column when present (tav_nn.py:155-163), else stratified
-    75/12.5/12.5 (SingleModels/audio_nn.py:109-121)."""
+    75/12.5/12.5 (SingleModels/audio_nn.py:109-121). A split column whose
+    val or test partition is EMPTY (e.g. a pickle built from one CSV)
+    falls back to the stratified split rather than training with no
+    evaluation data."""
     if cfg.split_col in df.columns:
-        return (df[df[cfg.split_col] == "train"],
-                df[df[cfg.split_col] == "val"],
-                df[df[cfg.split_col] == "test"])
+        parts = (df[df[cfg.split_col] == "train"],
+                 df[df[cfg.split_col] == "val"],
+                 df[df[cfg.split_col] == "test"])
+        if all(len(p) > 0 for p in parts):
+            return parts
+        print("split column present but a partition is empty — using the "
+              "stratified 75/12.5/12.5 split instead", flush=True)
     rng = np.random.RandomState(cfg.seed)
     idx = np.arange(len(df))
     labels = df[cfg.label_col].values
@@ -221,15 +232,31 @@ def apply_filters(df, cfg: PickleDatasetConfig,
     return df
 
 
-def labels_to_ids(values) -> Tuple[np.ndarray, Dict[int, str]]:
+def build_label_map(df, label_col: str) -> Optional[Dict[str, int]]:
+    """The string-label → id map over the FULL dataframe. Build this once
+    before ``split_dataframe`` and pass it via ``PickleDatasetConfig
+    .label_map`` so every split factorizes identically (a class absent
+    from val/test must not shift later ids). Returns None for integer
+    labels (they pass through unchanged)."""
+    arr = np.asarray(df[label_col].values)
+    if np.issubdtype(arr.dtype, np.integer):
+        return None
+    return {n: i for i, n in enumerate(sorted(set(map(str, arr))))}
+
+
+def labels_to_ids(values, name2id: Optional[Dict[str, int]] = None
+                  ) -> Tuple[np.ndarray, Dict[int, str]]:
     """Int labels pass through; strings factorize in sorted order
-    (tav_nn.py:172-173 label2id construction)."""
+    (tav_nn.py:172-173 label2id construction). ``name2id``: a prebuilt
+    full-dataframe map (build_label_map) — required for per-split calls
+    to agree when a split is missing a class."""
     arr = np.asarray(values)
     if np.issubdtype(arr.dtype, np.integer):
         uniq = np.unique(arr)
         return arr.astype(np.int64), {int(u): str(u) for u in uniq}
-    names = sorted(set(map(str, arr)))
-    name2id = {n: i for i, n in enumerate(names)}
+    if name2id is None:
+        names = sorted(set(map(str, arr)))
+        name2id = {n: i for i, n in enumerate(names)}
     return (np.asarray([name2id[str(v)] for v in arr], np.int64),
             {i: n for n, i in name2id.items()})
 
@@ -238,7 +265,7 @@ def build_text_dataset(df, cfg: PickleDatasetConfig,
                        tokenizer=None) -> ArrayDataset:
     ids, mask = tokenize_texts(df[cfg.text_col].tolist(), cfg.text_max_len,
                                tokenizer)
-    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    labels, _ = labels_to_ids(df[cfg.label_col].values, cfg.label_map)
     dialogs = (df[cfg.dialog_col].values
                if cfg.dialog_col in df.columns else None)
     return ArrayDataset({"input_ids": ids, "text_mask": mask}, labels,
@@ -248,7 +275,7 @@ def build_text_dataset(df, cfg: PickleDatasetConfig,
 def build_audio_dataset(df, cfg: PickleDatasetConfig) -> ArrayDataset:
     wave, mask = load_audio_bucket(df[cfg.audio_col].tolist(),
                                    cfg.audio_max_samples)
-    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    labels, _ = labels_to_ids(df[cfg.label_col].values, cfg.label_map)
     return ArrayDataset({"waveform": wave, "audio_mask": mask}, labels)
 
 
@@ -276,7 +303,7 @@ def build_video_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
             video[i] = decode_video_frames(
                 str(row[cfg.video_col]), video_frames, video_size,
                 timings=row.get("timings", None), crop_box=crop)
-    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    labels, _ = labels_to_ids(df[cfg.label_col].values, cfg.label_map)
     dialogs = (df[cfg.dialog_col].values
                if cfg.dialog_col in df.columns else None)
     return ArrayDataset({"video": video}, labels, dialog_ids=dialogs)
@@ -323,7 +350,7 @@ def build_tav_dataset(df, cfg: PickleDatasetConfig, video_frames: int = 16,
                 timings=row.get("timings", None),
                 crop_box=speaker_crop_box(row.get("speaker", None)),
                 normalize=norm)
-    labels, _ = labels_to_ids(df[cfg.label_col].values)
+    labels, _ = labels_to_ids(df[cfg.label_col].values, cfg.label_map)
     dialogs = (df[cfg.dialog_col].values
                if cfg.dialog_col in df.columns else None)
     return ArrayDataset(

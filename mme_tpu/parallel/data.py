@@ -29,6 +29,21 @@ def host_slice(global_indices: np.ndarray,
     return global_indices[pi * per:(pi + 1) * per]
 
 
+def shard_batches(src: Iterator, mesh: Mesh, axis: str = "dp"
+                  ) -> Iterator[Tuple[Dict[str, jax.Array], jax.Array,
+                                      jax.Array, np.ndarray]]:
+    """dp-shard an existing (batch, labels, mask, idx) iterator over the
+    mesh — composes length bucketing (data/dataset.py::BucketedBatchIter,
+    whose tails are already padded to the static batch size) with
+    multi-device training; ``idx`` stays host numpy for dialog
+    bookkeeping. Single-process only (device_put of host-resident rows)."""
+    sharding = NamedSharding(mesh, P(axis))
+    for batch, labels, mask, idx in src:
+        yield ({k: jax.device_put(v, sharding) for k, v in batch.items()},
+               jax.device_put(labels, sharding),
+               jax.device_put(mask, sharding), idx)
+
+
 def global_batches(ds: ArrayDataset, order: np.ndarray, global_batch: int,
                    mesh: Mesh, axis: str = "dp"
                    ) -> Iterator[Tuple[Dict[str, jax.Array], jax.Array,

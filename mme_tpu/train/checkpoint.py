@@ -41,6 +41,40 @@ class CheckpointManager:
                 ocp.StandardCheckpointHandler())
         else:
             self._ckpt = ocp.StandardCheckpointer()
+        self._gc_orphans()
+
+    def _gc_orphans(self) -> None:
+        """Remove ``best_<n>_<pid>`` data dirs not referenced by
+        best_meta.json whose owning process is DEAD. A process killed
+        between ``save_best`` and the next :meth:`wait` (exactly the
+        preemption window async saves target) leaves its fresh dir
+        unreferenced forever — multi-GB per preemption cycle. Dirs of
+        LIVE pids are in-flight saves (another manager on this dir, or
+        a parallel worker) and are left alone; the referenced dir (the
+        durable best) is never touched."""
+        import shutil
+        keep = os.path.basename(self.best_path)
+        try:
+            entries = os.listdir(self.directory)
+        except OSError:
+            return
+        for name in entries:
+            if not name.startswith("best_") or name == keep:
+                continue
+            try:
+                pid = int(name.rsplit("_", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            try:
+                os.kill(pid, 0)   # 0 = existence probe, no signal sent
+                continue          # owner alive → in-flight, keep
+            except ProcessLookupError:
+                pass              # owner dead → orphan
+            except OSError:
+                continue          # e.g. EPERM: someone's pid — keep
+            path = os.path.join(self.directory, name)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
 
     @property
     def best_path(self) -> str:

@@ -56,8 +56,13 @@ def _batch_iter(ds: ArrayDataset, order: np.ndarray, batch_size: int,
 
     prefetch = os.environ.get("MME_PREFETCH", "1") != "0"
     if batch_iter is not None:
-        assert mesh is None, "custom batch_iter + mesh not supported yet"
         src = batch_iter(ds, order, batch_size)
+        if mesh is not None:
+            # bucketed batches are tail-padded to the static batch size
+            # (data/dataset.py::batches) so they dp-shard directly
+            from mme_tpu.parallel.data import shard_batches
+            src = shard_batches(src, mesh)
+            prefetch = False  # already device-resident + sharded
     elif mesh is None:
         # feature arrays prefetched to device from a producer thread
         # (data/prefetch.py) so the host→device copy overlaps compute;
@@ -277,7 +282,15 @@ def train_network(train_step, eval_step, state: TrainState,
                     cm_acc = None
                 d = metric.summary("train")
                 d["train/loss"] = float(loss_acc) / max(steps_done, 1)
-                d["train/grad_norm"] = float(grad_norm)
+                if isinstance(grad_norm, dict):
+                    # per-module norms (make_train_step log_module_norms —
+                    # the reference's wandb.watch(log="all") signal)
+                    d["train/grad_norm"] = float(grad_norm["total"])
+                    for k, v in grad_norm.items():
+                        if k != "total":
+                            d[f"train/norms/{k}"] = float(v)
+                else:
+                    d["train/grad_norm"] = float(grad_norm)
                 d["train/steps_per_sec"] = steps_done / max(
                     time.time() - t0, 1e-9)
                 d["epoch"] = epoch

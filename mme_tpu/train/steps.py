@@ -98,7 +98,9 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     rng_names: Tuple[str, ...] = ("dropout",),
                     has_batch_stats: bool = False,
                     donate: bool = True,
-                    has_aux_loss: bool = False):
+                    has_aux_loss: bool = False,
+                    loss_fn: Optional[Callable] = None,
+                    log_module_norms: bool = False):
     """Build the jitted train step.
 
     ``apply_fn(variables, batch, deterministic, rngs) -> logits`` (or
@@ -110,7 +112,13 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         state, loss, cm, grad_norm = step(
             state, batch, labels, sample_mask, class_weights, loss_scale,
             apply_update, rng)
+
+    ``loss_fn(logits, labels, class_weights, sample_mask)`` defaults to
+    torch-parity cross entropy; ``train/losses.make_loss_fn`` maps the
+    reference ``--loss`` flag (FBeta/Precision incl.) onto this seam.
     """
+    if loss_fn is None:
+        loss_fn = cross_entropy
 
     def step(state: TrainState, batch: Dict[str, jax.Array],
              labels: jax.Array, sample_mask: jax.Array,
@@ -120,7 +128,7 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                                          state.step)
                 for i, name in enumerate(rng_names)}
 
-        def loss_fn(params):
+        def objective(params):
             variables = {"params": params}
             if has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -134,12 +142,12 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
             aux = jnp.zeros((), jnp.float32)
             if has_aux_loss:
                 logits, aux = logits
-            loss = cross_entropy(logits, labels, class_weights, sample_mask)
+            loss = loss_fn(logits, labels, class_weights, sample_mask)
             loss = loss + aux
             return loss * loss_scale, (logits, mutated)
 
         (scaled_loss, (logits, mutated)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            objective, has_aux=True)(state.params)
 
         if state.accum_grads is None:
             # accumulation disabled (TrainState.create(use_accum=False)):
@@ -169,9 +177,19 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, labels, num_classes, sample_mask)
-        # gradient global norm: the observability wandb.watch(log="all")
-        # provided in the reference (tav_nn.py:104-105), as one scalar
-        grad_norm = optax.global_norm(grads)
+        # gradient observability — the reference records full weight/grad
+        # histograms every step (wandb.watch(log="all"), tav_nn.py:103-104).
+        # Default: one global scalar. ``log_module_norms``: a per-top-level-
+        # module norm dict for both grads and weights (the
+        # divergence-debugging signal, without histogram-sized transfers).
+        if log_module_norms and isinstance(grads, dict):
+            grad_norm = {"total": optax.global_norm(grads)}
+            for k, v in grads.items():
+                grad_norm[f"grad/{k}"] = optax.global_norm(v)
+            for k, v in state.params.items():
+                grad_norm[f"param/{k}"] = optax.global_norm(v)
+        else:
+            grad_norm = optax.global_norm(grads)
 
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt,
@@ -186,12 +204,15 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
 def make_eval_step(apply_fn: Callable, num_classes: int,
                    has_batch_stats: bool = False,
-                   has_aux_loss: bool = False):
+                   has_aux_loss: bool = False,
+                   loss_fn: Optional[Callable] = None):
     """Eval: loss (optional weights) + confusion matrix + per-sample preds
     (for the reference's test-prediction dumps,
     ``SingleModels/train_model/image_training.py:23-28``), deterministic.
     ``has_aux_loss``: apply returns (logits, aux); aux is a training
     regularizer and is excluded from the eval/selection loss."""
+    if loss_fn is None:
+        loss_fn = cross_entropy
 
     def step(params: Any, batch_stats: Any, batch: Dict[str, jax.Array],
              labels: jax.Array, sample_mask: jax.Array,
@@ -202,7 +223,7 @@ def make_eval_step(apply_fn: Callable, num_classes: int,
         logits = apply_fn(variables, batch, deterministic=True, rngs=None)
         if has_aux_loss:
             logits, _ = logits
-        loss = cross_entropy(logits, labels, class_weights, sample_mask)
+        loss = loss_fn(logits, labels, class_weights, sample_mask)
         preds = jnp.argmax(logits, axis=-1)
         cm = confusion_matrix(preds, labels, num_classes, sample_mask)
         return loss, cm, preds

@@ -95,3 +95,71 @@ def test_loop_trains_with_bucketed_iter(tmp_path):
     # the mask-length signal is trivially learnable → bucketing kept masks
     # correct end-to-end
     assert summary["test/acc"] > 0.8, summary
+
+
+def test_bucketed_training_composes_with_dp_mesh(tmp_path):
+    """Round-2 gap: bucketing and the mesh were mutually exclusive
+    (train/loop.py asserted; the CLI silently dropped the mesh, so a
+    multi-device audio run paid the full-length pad). Now bucketed batches
+    dp-shard (parallel/data.py::shard_batches): the mesh run must match
+    the single-device bucketed run exactly — same samples visited, same
+    final numerics, same test accuracy."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    from mme_tpu.parallel.mesh import make_mesh
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, batch, *, deterministic=True):
+            m = batch["audio_mask"].astype(jnp.float32)
+            mean = (batch["waveform"] * m).sum(1, keepdims=True) \
+                / jnp.maximum(m.sum(1, keepdims=True), 1.0)
+            feats = jnp.concatenate(
+                [mean, m.sum(1, keepdims=True) / 64.0], axis=1)
+            return nn.Dense(2)(feats)
+
+    model = M()
+    train_ds, val_ds, test_ds = (_audio_ds(64, seed=0),
+                                 _audio_ds(16, seed=1),
+                                 _audio_ds(16, seed=2))
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: jnp.asarray(v[:1])
+                         for k, v in train_ds.features.items()})["params"]
+
+    def apply_fn(variables, batch, deterministic=True, rngs=None,
+                 mutable=None):
+        return model.apply(variables, batch, deterministic=deterministic)
+
+    def run(mesh, tag):
+        cfg = ExperimentConfig(epoch=4, batch_size=8, learning_rate=2e-1,
+                               output_dim=2, log_val=100, patience=50,
+                               checkpoint_dir=str(tmp_path / f"ck_{tag}"))
+        tx = make_optimizer(lambda s: cfg.learning_rate, 0.0, 1.0)
+        # fresh buffers per run: the donating train step deletes its inputs
+        state = TrainState.create(
+            jax.tree.map(lambda x: jnp.array(np.asarray(x)), params), tx)
+        train_step = make_train_step(apply_fn, tx, num_classes=2)
+        eval_step = make_eval_step(apply_fn, num_classes=2)
+        metric = Metrics(2, {0: "short", 1: "long"})
+        it = BucketedBatchIter((16, 32, 64))
+        state = train_network(train_step, eval_step, state, train_ds,
+                              val_ds, cfg, metric, np.ones(2, np.float32),
+                              np.ones(64, np.float32), jax.random.PRNGKey(0),
+                              batch_iter=it, mesh=mesh)
+        summary = evaluate(eval_step, state, test_ds, cfg, metric,
+                           batch_iter=it, mesh=mesh)
+        return state, summary
+
+    mesh = make_mesh(8, 1, devices=jax.devices()[:8])
+    s_mesh, sum_mesh = run(mesh, "dp8")
+    s_one, sum_one = run(None, "dp1")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s_mesh.params, s_one.params)
+    assert sum_mesh["test/acc"] == sum_one["test/acc"] > 0.8
+    np.testing.assert_array_equal(
+        np.asarray(sum_mesh["test/confusion_matrix"]),
+        np.asarray(sum_one["test/confusion_matrix"]))

@@ -1,0 +1,81 @@
+"""Per-module grad/weight norm logging (make_train_step
+log_module_norms — the reference's wandb.watch(log="all") signal,
+tav_nn.py:103-104)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+import optax
+
+from mme_tpu.train.steps import TrainState, make_optimizer, make_train_step
+
+
+class TwoTower(nn.Module):
+    @nn.compact
+    def __call__(self, batch, *, deterministic=True):
+        a = nn.Dense(8, name="tower_a")(batch["x"])
+        b = nn.Dense(8, name="tower_b")(batch["x"])
+        return nn.Dense(3, name="head")(jnp.tanh(a) + jnp.tanh(b))
+
+
+def test_module_norms_logged_and_consistent():
+    model = TwoTower()
+    batch = {"x": jnp.asarray(np.random.RandomState(0).randn(4, 6),
+                              jnp.float32)}
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+    def apply_fn(variables, b, deterministic=True, rngs=None, mutable=None):
+        return model.apply(variables, b, deterministic=deterministic)
+
+    tx = make_optimizer(1e-3, 1e-4, 10.0)
+    state = TrainState.create(params, tx, use_accum=False)
+    step = make_train_step(apply_fn, tx, num_classes=3, donate=False,
+                           log_module_norms=True)
+    labels = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    ones = jnp.ones((4,), jnp.int32)
+    cw = jnp.ones((3,), jnp.float32)
+    _, _, _, norms = step(state, batch, labels, ones, cw,
+                          jnp.asarray(1.0, jnp.float32), jnp.asarray(True),
+                          jax.random.PRNGKey(1))
+    assert set(norms) == {"total", "grad/tower_a", "grad/tower_b",
+                          "grad/head", "param/tower_a", "param/tower_b",
+                          "param/head"}
+    # per-module grad norms recompose into the total (pre-clip global norm)
+    total = float(norms["total"])
+    recomposed = np.sqrt(sum(float(norms[k]) ** 2 for k in norms
+                             if k.startswith("grad/")))
+    np.testing.assert_allclose(recomposed, total, rtol=1e-5)
+    assert all(np.isfinite(float(v)) for v in norms.values())
+    # param norms match the actual weights
+    np.testing.assert_allclose(
+        float(norms["param/head"]), float(optax.global_norm(params["head"])),
+        rtol=1e-6)
+
+
+def test_loop_logs_module_norms(tmp_path, monkeypatch):
+    """Through the CLI: MME_LOG_NORMS=1 puts train/norms/* keys in the
+    logged metrics stream."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("MME_LOG_NORMS", "1")
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from mme_tpu.cli import tav_nn
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tav_nn.main(["-d", "synthetic", "-e", "1", "-b", "8", "-y", "7",
+                     "-l", "1e-4"])
+    norm_keys = set()
+    for line in buf.getvalue().splitlines():
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        norm_keys |= {k for k in d if k.startswith("train/norms/")}
+    assert any(k.startswith("train/norms/grad/") for k in norm_keys), \
+        norm_keys
+    assert any(k.startswith("train/norms/param/") for k in norm_keys)

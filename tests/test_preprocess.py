@@ -19,11 +19,16 @@ def meld_setup(tmp_path):
     rng = np.random.RandomState(0)
     emotions = ["neutral", "joy", "anger", "sadness"]
     k = 0
-    for split, csvname, n_dialog in (("train", "train_sent_emo.csv", 4),
-                                     ("val", "dev_sent_emo.csv", 2),
-                                     ("test", "test_sent_emo.csv", 2)):
+    # dialogue ids disjoint across splits: real MELD RESTARTS ids per split
+    # and preprocess.py now rejects the resulting media collisions (the
+    # round-2 advisor's train/test-leakage finding, pinned in
+    # test_advice_fixes.py) — a shared flat media dir needs distinct ids
+    for split, csvname, base, n_dialog in (
+            ("train", "train_sent_emo.csv", 0, 4),
+            ("val", "dev_sent_emo.csv", 10, 2),
+            ("test", "test_sent_emo.csv", 20, 2)):
         recs = []
-        for d in range(n_dialog):
+        for d in range(base, base + n_dialog):
             for u in range(3):
                 recs.append({
                     "Sr No.": k, "Utterance": f"hello number {k}",
@@ -115,6 +120,62 @@ def test_empty_input_refuses_to_write(tmp_path):
     with pytest.raises(SystemExit, match="no rows"):
         preprocess.main([str(csv), "--out", str(out)])
     assert not out.exists()
+
+
+def test_preprocess_media_to_tav_one_chain(tmp_path, monkeypatch):
+    """The full offline→train chain with REAL pixels as ONE path (round-2
+    review: mp4 ingestion was only tested at the records layer): cv2-write
+    tiny mp4s + wavs → cli/preprocess (CSV+media dirs, IEMOCAP speaker
+    column) → pickle → cli/tav_nn trains through the raw-decode path with
+    the speaker crop applied (reference models/tav.py:51-121 +
+    run_scripts/Katna_Proc.py:16-75)."""
+    cv2 = pytest.importorskip("cv2")
+    media = tmp_path / "media"
+    media.mkdir()
+    rng = np.random.RandomState(0)
+    recs = []
+    k = 0
+    for d in range(4):
+        for u in range(3):
+            with wave.open(str(media / f"dia{d}_utt{u}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((rng.randn(1200) * 3000).astype(
+                    np.int16).tobytes())
+            # wide frame so the IEMOCAP left/right speaker boxes
+            # (data/videodec.py:210: width 355 at offset 2/362) exist
+            vw = cv2.VideoWriter(str(media / f"dia{d}_utt{u}.mp4"),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), 8.0,
+                                 (720, 480))
+            assert vw.isOpened()
+            for f in range(8):
+                frame = np.full((480, 720, 3), 30 * (k % 8), np.uint8)
+                vw.write(frame)
+            vw.release()
+            recs.append({"Utterance": f"utt number {k}",
+                         "Emotion": ["neutral", "joy", "anger"][k % 3],
+                         "Sentiment": "neutral", "Dialogue_ID": d,
+                         "Utterance_ID": u, "Left": k % 2 == 0})
+            k += 1
+    csv = tmp_path / "train_iemo.csv"
+    pd.DataFrame(recs).to_csv(csv, index=False)
+
+    out = tmp_path / "iemo.pkl"
+    built = preprocess.main([
+        str(csv), "--out", str(out), "--audio_dir", str(media),
+        "--video_dir", str(media), "--speaker_col", "Left"])
+    assert built["speaker"].notna().all()
+    assert built["video_path"].str.endswith(".mp4").all()
+
+    # the pickle has only a train split → stratified 75/12.5/12.5 kicks in
+    monkeypatch.setenv("MME_TINY", "1")
+    monkeypatch.delenv("MME_KEYFRAME_GLOB", raising=False)
+    monkeypatch.chdir(tmp_path)
+    from mme_tpu.cli import tav_nn
+    summary = tav_nn.main(["--dataset", str(out), "-e", "1", "-b", "4",
+                           "-y", "7", "-l", "1e-4", "-p", "50"])
+    assert "test/acc" in summary and np.isfinite(summary["test/loss"])
 
 
 def test_preprocessed_pickle_trains_text_nn(meld_setup, tmp_path,

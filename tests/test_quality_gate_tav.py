@@ -1,0 +1,275 @@
+"""The FLAGSHIP quality gate: the tiny TAV fusion stack, trained through
+the real CLI with the full policy stack engaged — dialog accumulation on
+odd epochs (dialog ids in the pickle), SpecAugment + random keep-mask
+video tower (``--mask True``), sampler/loss epoch-parity switching —
+reaches a weighted-F1 on learnable synthetic multimodal data that agrees
+with (a) a PyTorch twin of the reference graph
+(``/root/reference/models/tav.py:344-504`` +
+``train_model/tav_train.py:15-48``) trained on the SAME arrays, and
+(b) the same run under bf16 compute.
+
+The torch twin trains plain-batched: dialog accumulation ≡ batch-of-N is
+already pinned exactly by tests/test_grad_accum_equivalence.py, so the
+batched torch run is the right oracle for the accumulating JAX run. The
+comparison is statistical (initializations and augmentation RNG cannot be
+shared across frameworks) — the data is built strongly separable in all
+three modalities so both stacks should land well above chance, and the
+gate asserts agreement within a tolerance band, not bit parity.
+"""
+
+import os
+import wave as wavemod
+
+import numpy as np
+import pandas as pd
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+sk_metrics = pytest.importorskip("sklearn.metrics")
+
+C = 4                      # classes
+N_TRAIN, N_VAL, N_TEST = 96, 24, 24
+TEXT_LEN, AUDIO_LEN = 16, 2000
+FRAMES, SIZE = 4, 32       # tiny videomae geometry (TAVSpec.tiny)
+
+# per-class signal in each modality
+CLASS_WORDS = [["alpha", "anchor", "apple"], ["bravo", "basket", "bridge"],
+               ["candle", "copper", "cliff"], ["delta", "dune", "drift"]]
+CLASS_FREQ = [220.0, 440.0, 880.0, 1760.0]
+CLASS_RGB = [(220, 40, 40), (40, 220, 40), (40, 40, 220), (220, 220, 40)]
+
+
+def _write_wav(path, label, seed, sr=16000):
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(AUDIO_LEN * 1.2)) / sr
+    data = (0.4 * np.sin(2 * np.pi * CLASS_FREQ[label] * t)
+            + 0.05 * rng.randn(len(t))).astype(np.float32)
+    with wavemod.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((np.clip(data, -1, 1) * 32767).astype(
+            np.int16).tobytes())
+
+
+def _write_keyframes(dirpath, label, seed):
+    from PIL import Image
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    for f in range(FRAMES):
+        img = np.clip(np.asarray(CLASS_RGB[label], np.float32)
+                      + rng.randn(SIZE, SIZE, 3) * 25.0, 0, 255)
+        Image.fromarray(img.astype(np.uint8)).save(
+            os.path.join(dirpath, f"frame_{f}.jpg"))
+
+
+@pytest.fixture(scope="module")
+def gate_data(tmp_path_factory):
+    """Learnable multimodal pickle: class-worded text, class-toned wavs,
+    class-colored keyframe dirs, dialog ids (groups of 4 → accumulation
+    engages on odd epochs), split column."""
+    d = tmp_path_factory.mktemp("tav_gate")
+    n = N_TRAIN + N_VAL + N_TEST
+    rng = np.random.RandomState(7)
+    labels = rng.randint(0, C, n)
+    rows = []
+    for i, lab in enumerate(labels):
+        wav = d / f"utt{i}.wav"
+        _write_wav(wav, lab, seed=1000 + i)
+        _write_keyframes(str(d / "frames" / f"utt{i}"), lab, seed=2000 + i)
+        words = CLASS_WORDS[lab]
+        text = " ".join(rng.choice(words, 6))
+        rows.append({
+            "text": text, "audio_path": str(wav),
+            "name": f"utt{i}",              # keyframe dir key
+            "emotion": int(lab),
+            "split": ("train" if i < N_TRAIN else
+                      "val" if i < N_TRAIN + N_VAL else "test"),
+            "dialog": i // 4,
+            "audio_shape": 20000,
+        })
+    pkl = d / "gate.pkl"
+    pd.DataFrame(rows).to_pickle(pkl)
+    return {"pickle": str(pkl),
+            "keyframe_glob": str(d / "frames" / "{name}" / "*.jpg")}
+
+
+def _run_cli(gate_data, tmp_path_factory, tag, extra_env=()):
+    tmp = tmp_path_factory.mktemp(f"gate_run_{tag}")
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.chdir(tmp)
+        mp.setenv("MME_TINY", "1")
+        mp.setenv("MME_KEYFRAME_GLOB", gate_data["keyframe_glob"])
+        mp.delenv("MME_DTYPE", raising=False)
+        for k, v in extra_env:
+            mp.setenv(k, v)
+        from mme_tpu.cli import tav_nn
+        return tav_nn.main([
+            "--dataset", gate_data["pickle"], "-e", "3", "-b", "8",
+            "-y", str(C), "-l", "2e-3", "-ma", "True", "-es", "2",
+            "-p", "50", "-w", "1e-4", "-t", "2", "-s", "32", "-dr", "0.1"])
+    finally:
+        mp.undo()
+
+
+@pytest.fixture(scope="module")
+def jax_f32(gate_data, tmp_path_factory):
+    return _run_cli(gate_data, tmp_path_factory, "f32")
+
+
+def test_flagship_learns_with_full_policy_stack(jax_f32):
+    """Dialog accum (odd epochs) + SpecAugment + random keep-mask all on,
+    via the real CLI — and the stack still learns the separable data."""
+    f1 = jax_f32["test/weighted-f1-score"]
+    assert f1 > 0.6, f"flagship gate: weighted-F1 {f1:.3f} ≤ 0.6"
+
+
+def test_bf16_matches_fp32(gate_data, tmp_path_factory, jax_f32):
+    """bf16 compute (MME_DTYPE=bfloat16 — what bench.py trains) must not
+    change the learned quality (round-2 gap: the gate only ran fp32)."""
+    bf16 = _run_cli(gate_data, tmp_path_factory, "bf16",
+                    extra_env=(("MME_DTYPE", "bfloat16"),))
+    f32_f1 = jax_f32["test/weighted-f1-score"]
+    bf16_f1 = bf16["test/weighted-f1-score"]
+    assert bf16_f1 > 0.6, f"bf16 gate: weighted-F1 {bf16_f1:.3f} ≤ 0.6"
+    assert abs(bf16_f1 - f32_f1) < 0.2, (
+        f"bf16 F1 {bf16_f1:.3f} vs fp32 {f32_f1:.3f}")
+
+
+# ---------------- torch twin (reference graph, tiny scale) ----------------
+
+class TinyReferenceTAV(torch.nn.Module):
+    """The reference TAV compute graph (models/tav.py:344-504: PreFormer
+    embedding fusion + four towers + random fusion encoder) at the tiny
+    test scale, built from HF modules like the reference builds from
+    pretrained checkpoints."""
+
+    def __init__(self, hidden=32):
+        super().__init__()
+        tcfg = transformers.RobertaConfig(
+            vocab_size=101, max_position_embeddings=80, hidden_size=hidden,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, type_vocab_size=1, pad_token_id=0)
+        acfg = transformers.Wav2Vec2Config(
+            hidden_size=hidden, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, conv_dim=(8, 8, 8), conv_kernel=(10, 3, 3),
+            conv_stride=(5, 2, 2), conv_bias=True,
+            feat_extract_norm="layer", do_stable_layer_norm=True,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            mask_time_prob=0.05, mask_time_length=2,
+            apply_spec_augment=True)
+        vcfg = transformers.VideoMAEConfig(
+            image_size=SIZE, patch_size=8, num_frames=FRAMES,
+            tubelet_size=2, hidden_size=hidden, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64)
+        from transformers.models.videomae.modeling_videomae import (
+            VideoMAEEncoder)
+        self.bert = transformers.RobertaModel(tcfg)
+        self.wav = transformers.Wav2Vec2Model(acfg)
+        self.vid = transformers.VideoMAEModel(vcfg)
+        self.fusion = VideoMAEEncoder(vcfg)
+        self.modality = torch.nn.Embedding(3, hidden)
+        self.norms = torch.nn.ModuleList(
+            [torch.nn.LayerNorm(hidden) for _ in range(4)])
+        self.classifier = torch.nn.Linear(4 * hidden, C)
+
+    def forward(self, ids, tmask, wave, keep, video):
+        t_emb = self.bert.embeddings(input_ids=ids)
+        feats = self.wav.feature_extractor(wave).transpose(1, 2)
+        a_emb, _ = self.wav.feature_projection(feats)
+        v_emb = self.vid.embeddings(video, ~keep)
+        fused = torch.cat([t_emb, a_emb, v_emb], dim=1)
+        type_ids = torch.cat([
+            torch.zeros(ids.shape, dtype=torch.long),
+            torch.ones(a_emb.shape[:2], dtype=torch.long),
+            torch.full(v_emb.shape[:2], 2, dtype=torch.long)], dim=1)
+        fused = fused + self.modality(type_ids)
+        av = self.fusion(fused).last_hidden_state.mean(1)
+        txt = self.bert(input_ids=ids, attention_mask=tmask).pooler_output
+        aud = self.wav(wave).last_hidden_state.mean(1)
+        vid = self.vid(video, bool_masked_pos=keep).last_hidden_state.mean(1)
+        tav = torch.cat([self.norms[0](av), self.norms[1](txt),
+                         self.norms[2](aud), self.norms[3](vid)], dim=1)
+        return self.classifier(tav)
+
+
+def _arrays(gate_data):
+    """The SAME arrays the CLI trains on (records builders + hash
+    tokenizer, identical config)."""
+    from mme_tpu.data.records import (PickleDatasetConfig, build_label_map,
+                                      build_tav_dataset, get_tokenizer,
+                                      split_dataframe)
+    df = pd.read_pickle(gate_data["pickle"])
+    rcfg = PickleDatasetConfig(label_col="emotion", text_max_len=TEXT_LEN,
+                               audio_max_samples=AUDIO_LEN, seed=32)
+    rcfg.label_map = build_label_map(df, "emotion")
+    tok = get_tokenizer(None, 101)
+    tr, va, te = split_dataframe(df, rcfg)
+    return [build_tav_dataset(x, rcfg, FRAMES, SIZE, tokenizer=tok,
+                              keyframe_glob=gate_data["keyframe_glob"])
+            for x in (tr, va, te)]
+
+
+def test_torch_twin_agrees(gate_data, jax_f32):
+    """The reference-graph torch twin, trained on the same arrays with the
+    reference recipe (AdamW + CosineAnnealingWarmRestarts + clip + weighted
+    CE), lands in the same F1 band as the CLI run."""
+    train_ds, _va, test_ds = _arrays(gate_data)
+    torch.manual_seed(32)
+    model = TinyReferenceTAV()
+    opt = torch.optim.AdamW(model.parameters(), lr=2e-3, weight_decay=1e-4)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(opt, T_0=2)
+    counts = np.bincount(train_ds.labels, minlength=C)
+    cw = torch.tensor(1.0 - counts / counts.sum(), dtype=torch.float32)
+    crit = torch.nn.CrossEntropyLoss(weight=cw)
+
+    def tensors(ds, idx):
+        f = ds.features
+        ids = torch.tensor(np.asarray(f["input_ids"][idx]), dtype=torch.long)
+        tmask = torch.tensor(np.asarray(f["text_mask"][idx]),
+                             dtype=torch.long)
+        wave = torch.tensor(np.asarray(f["waveform"][idx]))
+        video = np.asarray(f["video"][idx], np.float32)
+        if video.dtype == np.uint8:
+            video = video.astype(np.float32) / 255.0
+        # torch video layout: [B, T, C, H, W]
+        video = torch.tensor(video).permute(0, 1, 4, 2, 3)
+        n_patch = (FRAMES // 2) * (SIZE // 8) ** 2
+        keep = torch.zeros(len(idx), n_patch, dtype=torch.bool)
+        keep[:, :: max(n_patch // 4, 1)] = True    # ≈ video_keep_k=4
+        labels = torch.tensor(np.asarray(ds.labels[idx]), dtype=torch.long)
+        return ids, tmask, wave, keep, video, labels
+
+    rng = np.random.RandomState(32)
+    n = len(train_ds.labels)
+    model.train()
+    for epoch in range(3):
+        order = rng.permutation(n)
+        for s in range(0, n, 8):
+            idx = order[s:s + 8]
+            ids, tmask, wave, keep, video, labels = tensors(train_ds, idx)
+            opt.zero_grad()
+            loss = crit(model(ids, tmask, wave, keep, video), labels)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            opt.step()
+        sched.step()
+
+    model.eval()
+    preds = []
+    with torch.no_grad():
+        m = len(test_ds.labels)
+        for s in range(0, m, 8):
+            idx = np.arange(s, min(s + 8, m))
+            ids, tmask, wave, keep, video, labels = tensors(test_ds, idx)
+            preds.append(model(ids, tmask, wave, keep, video).argmax(-1))
+    preds = torch.cat(preds).numpy()
+    torch_f1 = sk_metrics.f1_score(test_ds.labels, preds,
+                                   average="weighted")
+    jax_f1 = jax_f32["test/weighted-f1-score"]
+    assert torch_f1 > 0.5, f"torch twin failed to learn: F1 {torch_f1:.3f}"
+    assert abs(torch_f1 - jax_f1) < 0.25, (
+        f"torch twin F1 {torch_f1:.3f} vs CLI {jax_f1:.3f} — "
+        "framework-level quality drift")
