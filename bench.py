@@ -74,12 +74,13 @@ def main():
     spec = TAVSpec(output_dim=7)
     if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
         spec = spec.with_compute_dtype(jnp_.bfloat16)
-    # conv-only remat measured fastest at batch 8 (BASELINE.md): the conv
-    # stack's activations are the HBM hog; encoder activations fit.
-    # BENCH_REMAT=none disables even that — viable once bf16 opt state +
-    # the flash head-packing freed ~4 GB (saves ~0.5 TFLOP bwd recompute)
+    # No remat is the measured-best default at batch 8 (33.3 vs 32.6 utt/s
+    # conv-only): bf16 opt state + flash head-packing freed enough HBM that
+    # even the conv stack's activations fit, saving ~0.5 TFLOP of backward
+    # recompute. BENCH_REMAT=conv|av|full restore the remat ladder for
+    # larger batches / longer audio.
     import dataclasses as _dc
-    remat_mode = os.environ.get("BENCH_REMAT", "conv")  # none|conv|av|full
+    remat_mode = os.environ.get("BENCH_REMAT", "none")  # none|conv|av|full
     if remat_mode != "none":
         spec = _dc.replace(spec,
                            audio=_dc.replace(spec.audio, remat_conv=True))
