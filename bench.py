@@ -84,6 +84,27 @@ def main():
     if remat_mode != "none":
         spec = _dc.replace(spec,
                            audio=_dc.replace(spec.audio, remat_conv=True))
+    # Ablation probes for the VPU-interlude decomposition (BASELINE.md) —
+    # measurement knobs, not production configs:
+    #   BENCH_GELU=gelu_new|relu  swap every encoder's activation (bounds
+    #       the exact-erf GELU's VPU cost; relu is the upper bound)
+    #   BENCH_DROPOUT0=1          disable every dropout site (bounds mask
+    #       RNG generation + mask-apply + bwd-mask HBM cost)
+    def _map_enc(s, fn):
+        return _dc.replace(
+            s,
+            text=_dc.replace(s.text, encoder=fn(s.text.encoder)),
+            audio=_dc.replace(s.audio, encoder=fn(s.audio.encoder)),
+            video=_dc.replace(s.video, encoder=fn(s.video.encoder)),
+            fusion=fn(s.fusion))
+    if os.environ.get("BENCH_GELU"):
+        act = os.environ["BENCH_GELU"]
+        spec = _map_enc(spec, lambda e: _dc.replace(e, act=act))
+    if os.environ.get("BENCH_DROPOUT0", "0") == "1":
+        spec = _dc.replace(
+            _map_enc(spec, lambda e: _dc.replace(
+                e, dropout=0.0, attention_dropout=0.0)),
+            dropout=0.0)
     if os.environ.get("BENCH_SHARE", "1") == "1":
         # one conv frontend for PreFormer + audio tower (ablation: the
         # duplicate conv stack is ~5% of the step)

@@ -74,7 +74,14 @@ def _compiler_params(*semantics):
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                 scale: float, block_k: int, seq_k: int, pack: int,
                 head_dim: int):
-    q = q_ref[0].astype(jnp.float32) * scale        # [bq, pack*d]
+    # MXU dtype discipline (this was round 3's second flash win): inputs
+    # stay in their storage dtype (bf16 on the mixed-precision path) and
+    # every dot accumulates fp32 via preferred_element_type — a bf16×bf16
+    # MXU pass runs ~4-8× the fp32 rate on v5e, and bf16 inputs carry no
+    # extra precision an fp32 matmul could use. Probabilities are cast to
+    # the value dtype for the PV matmul — exactly the numerics of the XLA
+    # reference path (ops/attention.py::_xla_attention).
+    q = q_ref[0]                                    # [bq, pack*d]
     bq = q.shape[0]
     d = head_dim
     num_kb = pl.cdiv(seq_k, block_k)
@@ -85,8 +92,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
 
     def body(kb, carry):
         ms, ls, accs = carry[:pack], carry[pack:2 * pack], carry[2 * pack:]
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         new = []
         for h in range(pack):
@@ -94,15 +101,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
             kh = k[:, h * d:(h + 1) * d]
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [bq, bk]
-            s = s + b[None, :]
+                preferred_element_type=jnp.float32)  # [bq, bk] fp32
+            s = s * scale + b[None, :]
             m_new = jnp.maximum(ms[h], s.max(axis=-1, keepdims=True))
             alpha = jnp.exp(ms[h] - m_new)
             p = jnp.exp(s - m_new)
             l_new = ls[h] * alpha + p.sum(axis=-1, keepdims=True)
             vh = v[:, h * d:(h + 1) * d]
             acc_new = accs[h] * alpha + jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())),
+                p.astype(v.dtype), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             new.append((m_new, l_new, acc_new))
         return tuple(x[0] for x in new) + tuple(x[1] for x in new) \
@@ -126,8 +133,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                dq_ref, *, scale: float, block_k: int, seq_k: int, pack: int,
                head_dim: int):
-    q = q_ref[0].astype(jnp.float32)                # [bq, pack*d]
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]                                    # [bq, pack*d]
+    do = do_ref[0]
     lse_cols = lse_ref[0].T                          # [pack,bq] -> [bq,pack]
     delta_cols = delta_ref[0].T
     bq = q.shape[0]
@@ -135,8 +142,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     num_kb = pl.cdiv(seq_k, block_k)
 
     def body(kb, dqs):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         new = []
         for h in range(pack):
@@ -147,10 +154,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s * scale + b[None, :]
-            p = jnp.exp(s - lse_cols[:, h:h + 1])    # [bq, bk]
+            p = jnp.exp(s - lse_cols[:, h:h + 1])    # [bq, bk] fp32
             dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = p * (dp - delta_cols[:, h:h + 1])
+            ds = (p * (dp - delta_cols[:, h:h + 1])).astype(k.dtype)
             new.append(dqs[h] + jax.lax.dot_general(
                 ds, kh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
@@ -167,8 +174,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     """dk/dv for one k-tile. s is computed TRANSPOSED ([bk, bq], keys on
     sublanes) so the per-query lse/delta rows broadcast for free and every
     contraction lands on the MXU without relayouts."""
-    k = k_ref[0].astype(jnp.float32)                # [bk, pack*d]
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                                    # [bk, pack*d]
+    v = v_ref[0]
     b_col = bias_ref[0].astype(jnp.float32).T        # [1,bk] -> [bk,1]
     bk = k.shape[0]
     d = head_dim
@@ -176,8 +183,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
     def body(qb, carry):
         dks, dvs = carry[:pack], carry[pack:]
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         new_k, new_v = [], []
         for h in range(pack):
             qh = q[:, h * d:(h + 1) * d]
@@ -188,14 +195,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
             delta_row = delta_ref[0, h:h + 1, pl.ds(qb * block_q, block_q)]
             s_t = jax.lax.dot_general(kh, qh, (((1,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-            s_t = s_t * scale + b_col                # [bk, bq]
+            s_t = s_t * scale + b_col                # [bk, bq] fp32
             p_t = jnp.exp(s_t - lse_row)
             new_v.append(dvs[h] + jax.lax.dot_general(
-                p_t, doh, (((1,), (0,)), ((), ())),
+                p_t.astype(do.dtype), doh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
             dp_t = jax.lax.dot_general(vh, doh, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-            ds_t = p_t * (dp_t - delta_row)
+            ds_t = (p_t * (dp_t - delta_row)).astype(q.dtype)
             new_k.append(dks[h] + jax.lax.dot_general(
                 ds_t, qh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))

@@ -38,23 +38,27 @@ def _ring_attention_local(q, k, v, kbias, *, axis_name: str, scale: float):
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    qf = q.astype(jnp.float32) * scale
     # derive the carry init from the sharded operand so shard_map's
     # varying-manual-axes types match through the fori_loop
-    m = jnp.zeros_like(qf[..., :1]) + NEG_INF
-    l = jnp.zeros_like(qf[..., :1])
-    acc = jnp.zeros_like(qf)
+    m = jnp.zeros_like(q[..., :1], jnp.float32) + NEG_INF
+    l = jnp.zeros_like(q[..., :1], jnp.float32)
+    acc = jnp.zeros_like(q, jnp.float32)
 
     def body(_, carry):
         k_c, v_c, km_c, m, l, acc = carry
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_c.astype(jnp.float32))
+        # inputs stay in their storage dtype (bf16 MXU pass, fp32
+        # accumulate) — same numerics contract as ops/attention.py; the
+        # probabilities are cast to the value dtype for the PV matmul
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_c,
+                       preferred_element_type=jnp.float32) * scale
         s = s + km_c[:, None, None, :]
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p,
-                                       v_c.astype(jnp.float32))
+        acc = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd",
+                                       p.astype(v_c.dtype), v_c,
+                                       preferred_element_type=jnp.float32)
         m = m_new
         # rotate the K/V block (+mask) to the next chip on the ring
         k_c = jax.lax.ppermute(k_c, axis_name, perm)

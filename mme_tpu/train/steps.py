@@ -66,10 +66,12 @@ def make_optimizer(lr_schedule: Callable, weight_decay: float,
     reference's ``requires_grad`` filtering (frozen backbones,
     ``SingleModels/models/image.py:36-37``) expressed as optax masking.
 
-    ``state_dtype``: "fp32" (default) or "bf16" — bf16 stores the Adam
-    moments in bfloat16 with stochastic rounding (train/optim.py), halving
-    optimizer-state HBM traffic and capacity (~17 GB/step → ~12 for the
-    605M-param flagship, BASELINE.md). ``None`` reads ``MME_OPT_STATE``.
+    ``state_dtype``: "fp32" (default), "bf16", or "factored" — bf16 stores
+    the Adam moments in bfloat16 with stochastic rounding (train/optim.py),
+    halving optimizer-state HBM traffic and capacity (~17 GB/step → ~12 for
+    the 605M-param flagship, BASELINE.md); "factored" additionally replaces
+    the second moment with Adafactor's row/col factorization (nu traffic
+    → ~0). ``None`` reads ``MME_OPT_STATE``.
     """
     import os
     if state_dtype is None:
@@ -78,10 +80,15 @@ def make_optimizer(lr_schedule: Callable, weight_decay: float,
         from mme_tpu.train.optim import adamw_lowmem
         adamw = adamw_lowmem(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
                              weight_decay=weight_decay)
+    elif state_dtype == "factored":
+        from mme_tpu.train.optim import adamw_factored
+        adamw = adamw_factored(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
+                               weight_decay=weight_decay)
     else:
         adamw = optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
                             weight_decay=weight_decay)
-    tx = optax.chain(optax.clip_by_global_norm(clip), adamw)
+    from mme_tpu.train.optim import clip_by_global_norm_f32
+    tx = optax.chain(clip_by_global_norm_f32(clip), adamw)
     if trainable_mask is not None:
         # NOT optax.masked(tx, mask): masked passes the untouched raw
         # gradient through for mask=False leaves, so "frozen" params would
@@ -100,7 +107,8 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     donate: bool = True,
                     has_aux_loss: bool = False,
                     loss_fn: Optional[Callable] = None,
-                    log_module_norms: bool = False):
+                    log_module_norms: bool = False,
+                    grads_dtype: Optional[Any] = None):
     """Build the jitted train step.
 
     ``apply_fn(variables, batch, deterministic, rngs) -> logits`` (or
@@ -119,6 +127,10 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
     """
     if loss_fn is None:
         loss_fn = cross_entropy
+    if grads_dtype is None:
+        import os
+        grads_dtype = {"bf16": jnp.bfloat16}.get(
+            os.environ.get("MME_GRADS", ""))
 
     def step(state: TrainState, batch: Dict[str, jax.Array],
              labels: jax.Array, sample_mask: jax.Array,
@@ -148,6 +160,19 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 
         (scaled_loss, (logits, mutated)), grads = jax.value_and_grad(
             objective, has_aux=True)(state.params)
+
+        # MME_GRADS=bf16: store the gradient tree in bfloat16 between the
+        # backward pass and the optimizer — halves its write + 2×read HBM
+        # traffic (~3.6 GB/step on the flagship). Clip norms accumulate
+        # fp32 (optim.global_norm_f32) and the low-mem optimizers upcast
+        # per-leaf, so only the storage precision drops (the standard
+        # bf16-gradient recipe). Use with MME_OPT_STATE=bf16|factored —
+        # plain optax.adamw would inherit bf16 moments WITHOUT stochastic
+        # rounding from bf16 updates.
+        if grads_dtype is not None:
+            grads = jax.tree.map(
+                lambda g: g.astype(grads_dtype)
+                if g.dtype == jnp.float32 else g, grads)
 
         if state.accum_grads is None:
             # accumulation disabled (TrainState.create(use_accum=False)):
@@ -182,14 +207,15 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         # Default: one global scalar. ``log_module_norms``: a per-top-level-
         # module norm dict for both grads and weights (the
         # divergence-debugging signal, without histogram-sized transfers).
+        from mme_tpu.train.optim import global_norm_f32
         if log_module_norms and isinstance(grads, dict):
-            grad_norm = {"total": optax.global_norm(grads)}
+            grad_norm = {"total": global_norm_f32(grads)}
             for k, v in grads.items():
-                grad_norm[f"grad/{k}"] = optax.global_norm(v)
+                grad_norm[f"grad/{k}"] = global_norm_f32(v)
             for k, v in state.params.items():
-                grad_norm[f"param/{k}"] = optax.global_norm(v)
+                grad_norm[f"param/{k}"] = global_norm_f32(v)
         else:
-            grad_norm = optax.global_norm(grads)
+            grad_norm = global_norm_f32(grads)
 
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt,

@@ -55,7 +55,7 @@ def main():
           flush=True)
 
     for bq, bk in ((256, 512), (512, 512), (512, 1024), (256, 1464),
-                   (128, 512)):
+                   (128, 512), (512, S), (S, S)):
         os.environ["MME_FLASH_BQ"] = str(bq)
         os.environ["MME_FLASH_BK"] = str(bk)
         # env vars are read at trace time; make_fwdbwd builds a fresh
