@@ -49,12 +49,16 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    # BENCH_PRNG=rbg switches dropout/SpecAugment mask generation to the
-    # TPU hardware RNG (threefry is a long VPU op chain; the train step
-    # draws ~200M random bits/step across ~24 dropout sites)
-    prng = os.environ.get("BENCH_PRNG")
-    if prng:
-        jax.config.update("jax_default_prng_impl", prng)
+    # Dropout/SpecAugment mask bits come from the TPU hardware RNG by
+    # default (rbg): threefry is a long VPU op chain and the train step
+    # draws ~200M random bits/step across ~24 dropout sites — measured
+    # 33.9 → 35.1 utt/s at batch 8 (BASELINE.md). BENCH_PRNG=threefry2x32
+    # restores the splittable default (reproducible across topologies).
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl",
+                          os.environ.get("BENCH_PRNG", "rbg"))
+    elif os.environ.get("BENCH_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
 
     from mme_tpu.core.config import ExperimentConfig
     from mme_tpu.models.fusion import TAVSpec

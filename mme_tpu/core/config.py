@@ -12,6 +12,7 @@ precision policy) that have no reference equivalent.
 from __future__ import annotations
 
 import dataclasses
+import os
 from argparse import ArgumentParser
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
@@ -180,6 +181,14 @@ def config_from_args(args: Any, **overrides: Any) -> ExperimentConfig:
     (parallel/distributed.py) take effect here."""
     from mme_tpu.parallel.distributed import maybe_initialize
     maybe_initialize()
+    # MME_PRNG=rbg: dropout/SpecAugment mask bits from the TPU hardware RNG
+    # (+3% step time on the flagship, BASELINE.md). Default stays threefry
+    # in the CLIs — splittable keys reproduce across topologies; the bench
+    # defaults to rbg on TPU where only throughput is scored.
+    prng = os.environ.get("MME_PRNG")
+    if prng:
+        import jax
+        jax.config.update("jax_default_prng_impl", prng)
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw.update(overrides)

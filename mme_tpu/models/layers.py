@@ -178,14 +178,34 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         s = self.spec
-        x = nn.Dense(s.intermediate, dtype=s.dtype, param_dtype=s.param_dtype,
-                     name="fc1")(x)
-        x = activation(s.act)(x)
-        x = nn.Dense(s.hidden, dtype=s.dtype, param_dtype=s.param_dtype,
-                     name="fc2")(x)
+        import os
+        fused = os.environ.get("MME_FUSED_MLP", "0")
+        if fused != "0" and not self.is_initializing():
+            # Single-kernel fc1→act→fc2 (ops/fused_mlp.py): the [N, F]
+            # intermediate never touches HBM and the backward recomputes it
+            # in VMEM from x alone. Params were created by the unfused path
+            # at init (same pattern as the pipeline executor above), so
+            # checkpoints/pretrained trees are layout-identical. Output
+            # dropout stays here — XLA fuses it into the residual add.
+            from mme_tpu.ops.fused_mlp import fused_mlp
+            p = self.variables["params"]
+            B, S, H = x.shape
+            out = fused_mlp(
+                x.reshape(B * S, H).astype(s.dtype),
+                p["fc1"]["kernel"].astype(s.dtype),
+                p["fc1"]["bias"].astype(jnp.float32),
+                p["fc2"]["kernel"].astype(s.dtype),
+                p["fc2"]["bias"].astype(jnp.float32),
+                s.act, fused == "interpret").reshape(B, S, H)
+        else:
+            out = nn.Dense(s.intermediate, dtype=s.dtype,
+                           param_dtype=s.param_dtype, name="fc1")(x)
+            out = activation(s.act)(out)
+            out = nn.Dense(s.hidden, dtype=s.dtype, param_dtype=s.param_dtype,
+                           name="fc2")(out)
         if s.dropout > 0.0:
-            x = nn.Dropout(rate=s.dropout)(x, deterministic=deterministic)
-        return x
+            out = nn.Dropout(rate=s.dropout)(out, deterministic=deterministic)
+        return out
 
 
 class EncoderBlock(nn.Module):

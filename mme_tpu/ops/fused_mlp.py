@@ -1,0 +1,211 @@
+"""Fused transformer MLP (Pallas): fc1 → activation → fc2 in one kernel.
+
+The round-2/3 perf decomposition (BASELINE.md) shows every tower stuck at
+30-45% MXU with the gap spread across the elementwise interludes BETWEEN
+matmuls: unfused, the [N, intermediate] fc1 activation (72 MB/layer at the
+video tower's shapes) round-trips HBM at least twice in the forward pass
+and again in the backward, and XLA additionally stores it for the backward
+when rematerialization is off. This kernel keeps the intermediate entirely
+in VMEM:
+
+- **forward**: one row-block of x in, `act(x@W1+b1)@W2+b2` out — HBM
+  traffic is x + W1/W2 + out, nothing else.
+- **backward**: custom_vjp with IN-KERNEL RECOMPUTE — only x is saved as
+  residual (the activation-memory win of remat without the separate
+  recompute pass); one sequential pass over row blocks accumulates
+  dW1/dW2/db1/db2 in VMEM while streaming dx out.
+
+Both matmul legs run bf16×bf16 MXU passes with fp32 accumulation; the
+activation and its derivative are evaluated in fp32 in VMEM.
+
+Replaces (capability-wise) the reference's per-layer ``nn.Linear →
+activation → nn.Linear`` stacks (e.g. ``utils/TAVFormer.py:100-115``); the
+reference has no fused or custom kernels at all.
+
+Dropout deliberately stays OUTSIDE the kernel: every dropout site in the
+model zoo acts on the [N, hidden] OUTPUT (models/layers.py::Mlp), where
+XLA already fuses mask-generation + apply into the residual add; fusing it
+here would force an in-kernel RNG contract for a tensor 4× smaller than
+the intermediate this kernel exists to keep off HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _act_pair(name: str):
+    """(f, df) for the activation — evaluated fp32 inside the kernel."""
+    if name == "gelu":                      # exact (erf) — HF default
+        def f(x):
+            return jax.nn.gelu(x, approximate=False)
+
+        def df(x):
+            cdf = 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+            pdf = jnp.exp(-0.5 * x * x) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+            return cdf + x * pdf
+        return f, df
+    if name == "gelu_new":                  # tanh approximation
+        def f(x):
+            return jax.nn.gelu(x, approximate=True)
+
+        def df(x):
+            c = jnp.sqrt(2.0 / jnp.pi)
+            u = c * (x + 0.044715 * x ** 3)
+            t = jnp.tanh(u)
+            du = c * (1.0 + 3 * 0.044715 * x * x)
+            return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+        return f, df
+    if name == "relu":
+        return (lambda x: jnp.maximum(x, 0.0),
+                lambda x: (x > 0).astype(jnp.float32))
+    if name == "tanh":
+        return jnp.tanh, lambda x: 1.0 - jnp.tanh(x) ** 2
+    raise ValueError(f"unsupported fused-mlp activation {name}")
+
+
+def _block_m(n_rows: int) -> int:
+    try:
+        bm = int(os.environ.get("MME_MLP_BM", "256"))
+    except ValueError:
+        bm = 256
+    return min(max(bm, 8), max(n_rows, 8))
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act: str):
+    f, _ = _act_pair(act)
+    h = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    a = f(h + b1_ref[...].astype(jnp.float32))
+    out = jax.lax.dot_general(a.astype(x_ref.dtype), w2_ref[...],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[...] = (out + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, do_ref,
+                dx_ref, dw1_ref, dw2_ref, db1_ref, db2_ref, *, act: str):
+    """One row block per grid step; dW/db accumulate across the
+    (sequential) grid into revisited output blocks."""
+    f, df = _act_pair(act)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...]
+    do = do_ref[...]
+    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    a_bf = f(h).astype(x.dtype)
+    da = jax.lax.dot_general(do, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh = da * df(h)
+    dh_bf = dh.astype(x.dtype)
+    dx_ref[...] = jax.lax.dot_general(
+        dh_bf, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dw1_ref[...] += jax.lax.dot_general(
+        x, dh_bf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_ref[...] += jax.lax.dot_general(
+        a_bf, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[...] += dh.sum(axis=0, keepdims=True)
+    db2_ref[...] += do.astype(jnp.float32).sum(axis=0, keepdims=True)
+
+
+def _pad_rows(x, target):
+    pad = target - x.shape[0]
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_mlp(x, w1, b1, w2, b2, act: str = "gelu",
+              interpret: bool = False):
+    """``act(x @ w1 + b1) @ w2 + b2`` without materializing the
+    intermediate to HBM. x: [N, H]; w1: [H, F]; w2: [F, H]."""
+    return _fwd(x, w1, b1, w2, b2, act, interpret)
+
+
+def _fwd(x, w1, b1, w2, b2, act, interpret):
+    N, H = x.shape
+    F = w1.shape[1]
+    bm = _block_m(N)
+    Np = -(-N // bm) * bm
+    xr = _pad_rows(x, Np)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, act=act),
+        grid=(Np // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, H), lambda i: (i, 0)),
+            pl.BlockSpec((H, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((F, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, H), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xr, w1, b1.reshape(1, F), w2, b2.reshape(1, H))
+    return out[:N]
+
+
+def _fused_mlp_fwd(x, w1, b1, w2, b2, act, interpret):
+    return _fwd(x, w1, b1, w2, b2, act, interpret), (x, w1, b1, w2)
+
+
+def _fused_mlp_bwd(act, interpret, res, do):
+    x, w1, b1, w2 = res
+    N, H = x.shape
+    F = w1.shape[1]
+    bm = _block_m(N)
+    Np = -(-N // bm) * bm
+    xr = _pad_rows(x, Np)
+    dor = _pad_rows(do, Np)
+    dx, dw1, dw2, db1, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, act=act),
+        grid=(Np // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, H), lambda i: (i, 0)),
+            pl.BlockSpec((H, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((F, H), lambda i: (0, 0)),
+            pl.BlockSpec((bm, H), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, H), lambda i: (i, 0)),
+            pl.BlockSpec((H, F), lambda i: (0, 0)),
+            pl.BlockSpec((F, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, F), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, H), x.dtype),
+            jax.ShapeDtypeStruct((H, F), jnp.float32),
+            jax.ShapeDtypeStruct((F, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xr, w1, b1.reshape(1, F), w2, dor)
+    return (dx[:N], dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+
+
+fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
