@@ -130,50 +130,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     lse_ref[0] = jnp.concatenate(lses, axis=1).T
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, *, scale: float, block_k: int, seq_k: int, pack: int,
-               head_dim: int):
-    q = q_ref[0]                                    # [bq, pack*d]
-    do = do_ref[0]
-    lse_cols = lse_ref[0].T                          # [pack,bq] -> [bq,pack]
-    delta_cols = delta_ref[0].T
-    bq = q.shape[0]
-    d = head_dim
-    num_kb = pl.cdiv(seq_k, block_k)
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, block_q: int,
+                seq_q: int, pack: int, head_dim: int):
+    """Merged FA2 backward: ONE score recompute serves dq, dk and dv.
 
-    def body(kb, dqs):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        b = bias_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
-        new = []
-        for h in range(pack):
-            qh = q[:, h * d:(h + 1) * d]
-            kh = k[:, h * d:(h + 1) * d]
-            vh = v[:, h * d:(h + 1) * d]
-            doh = do[:, h * d:(h + 1) * d]
-            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s * scale + b[None, :]
-            p = jnp.exp(s - lse_cols[:, h:h + 1])    # [bq, bk] fp32
-            dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = (p * (dp - delta_cols[:, h:h + 1])).astype(k.dtype)
-            new.append(dqs[h] + jax.lax.dot_general(
-                ds, kh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        return tuple(new)
+    Grid is (head-group, k-tile); each instance loops over q-tiles. s is
+    computed TRANSPOSED ([bk, bq], keys on sublanes) so the per-query
+    lse/delta rows broadcast for free; dk/dv accumulate in the fori carry,
+    while dq accumulates across k-tiles into a REVISITED fp32 output block
+    (constant index over the sequential j axis — zeroed at j == 0). The
+    previous two-kernel split (dq-kernel + dkv-kernel) recomputed s and dp
+    twice and loaded q/do/k/v twice; profiling put the pair at ~2.5 ms per
+    video layer — the merge removes ~2/7 of the backward matmul passes."""
+    j = pl.program_id(1)
 
-    init = tuple(jnp.zeros((bq, d), jnp.float32) for _ in range(pack))
-    dqs = jax.lax.fori_loop(0, num_kb, body, init)
-    dq_ref[0] = (jnp.concatenate(dqs, axis=1) * scale).astype(dq_ref.dtype)
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
-
-def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, scale: float, block_q: int, seq_q: int,
-                pack: int, head_dim: int):
-    """dk/dv for one k-tile. s is computed TRANSPOSED ([bk, bq], keys on
-    sublanes) so the per-query lse/delta rows broadcast for free and every
-    contraction lands on the MXU without relayouts."""
     k = k_ref[0]                                    # [bk, pack*d]
     v = v_ref[0]
     b_col = bias_ref[0].astype(jnp.float32).T        # [1,bk] -> [bk,1]
@@ -206,6 +181,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
             new_k.append(dks[h] + jax.lax.dot_general(
                 ds_t, qh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
+            # dq_h += scale · ds_hᵀ @ k_h  (contraction over this k-tile)
+            dq_ref[0, pl.ds(qb * block_q, block_q), h * d:(h + 1) * d] += (
+                jax.lax.dot_general(ds_t, kh, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                * scale)
         return tuple(new_k) + tuple(new_v)
 
     init = tuple(jnp.zeros((bk, d), jnp.float32) for _ in range(2 * pack))
@@ -318,27 +298,8 @@ def _bwd_packed(q, k, v, bias_k, out, lse, do, head_dim, pack, interpret):
          for h in range(pack)], axis=1)               # [G, pack, Sq0]
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Sq - Sq0)))
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, block_k=bk, seq_k=Sk,
-                          pack=pack, head_dim=head_dim),
-        grid=(G, pl.cdiv(Sq, bq)),
-        in_specs=[
-            pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, Sk, PD), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, Sk, PD), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, 1, Sk), lambda g, i, gpb=gpb: (g // gpb, 0, 0)),
-            pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, pack, bq), lambda g, i: (g, 0, i)),
-            pl.BlockSpec((1, pack, bq), lambda g, i: (g, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((1, bq, PD), lambda g, i: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, Sq, PD), q.dtype),
-        compiler_params=_compiler_params("parallel", "parallel"),
-        interpret=interpret,
-    )(qr, kr, vr, bias, dor, lse_p, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=bq, seq_q=Sq,
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, block_q=bq, seq_q=Sq,
                           pack=pack, head_dim=head_dim),
         grid=(G, pl.cdiv(Sk, bk)),
         in_specs=[
@@ -351,18 +312,22 @@ def _bwd_packed(q, k, v, bias_k, out, lse, do, head_dim, pack, interpret):
             pl.BlockSpec((1, pack, Sq), lambda g, j: (g, 0, 0)),
         ],
         out_specs=[
+            # dq is revisited across the sequential k-tile axis (constant
+            # index over j) and accumulated in fp32; cast back outside
+            pl.BlockSpec((1, Sq, PD), lambda g, j: (g, 0, 0)),
             pl.BlockSpec((1, bk, PD), lambda g, j: (g, j, 0)),
             pl.BlockSpec((1, bk, PD), lambda g, j: (g, j, 0)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((G, Sq, PD), jnp.float32),
             jax.ShapeDtypeStruct((G, Sk, PD), k.dtype),
             jax.ShapeDtypeStruct((G, Sk, PD), v.dtype),
         ],
-        compiler_params=_compiler_params("parallel", "parallel"),
+        compiler_params=_compiler_params("parallel", "arbitrary"),
         interpret=interpret,
     )(qr, kr, vr, bias, dor, lse_p, delta)
 
-    return dq[:, :Sq0], dk[:, :Sk0], dv[:, :Sk0]
+    return dq[:, :Sq0].astype(q.dtype), dk[:, :Sk0], dv[:, :Sk0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

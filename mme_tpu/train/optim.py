@@ -194,15 +194,17 @@ def scale_by_adam_factored(b1: float = 0.9, b2: float = 0.999,
 
     def init_fn(params):
         mu = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.bfloat16), params)
-        zero = jnp.zeros((0,), jnp.float32)
+        # unused slots are 1-element (NOT 0-element: the TPU runtime
+        # rejects zero-sized buffers in donated/threaded state trees)
+        dummy = jnp.zeros((1,), jnp.float32)
         nu_row = jax.tree.map(
             lambda p: jnp.zeros((_rc_shape(p)[0],), jnp.float32)
-            if _factored(p) else zero, params)
+            if _factored(p) else dummy, params)
         nu_col = jax.tree.map(
             lambda p: jnp.zeros((_rc_shape(p)[1],), jnp.float32)
-            if _factored(p) else zero, params)
+            if _factored(p) else dummy, params)
         nu_full = jax.tree.map(
-            lambda p: zero if _factored(p)
+            lambda p: dummy if _factored(p)
             else jnp.zeros(p.shape, jnp.float32), params)
         return ScaleByAdamFactoredState(
             count=jnp.zeros((), jnp.int32), mu=mu,
