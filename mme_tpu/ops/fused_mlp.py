@@ -27,6 +27,14 @@ model zoo acts on the [N, hidden] OUTPUT (models/layers.py::Mlp), where
 XLA already fuses mask-generation + apply into the residual add; fusing it
 here would force an in-kernel RNG contract for a tensor 4× smaller than
 the intermediate this kernel exists to keep off HBM.
+
+MEASURED LIMIT (v5e, round 3): the backward's [H, F] fp32 dW accumulators
+exceed Mosaic's 16 MB scoped-VMEM budget at every bench tower's shapes
+(32 MB at wav2vec2's 1024×4096, 18.9 MB at the 768×3072 towers), so
+``fused_mlp`` transparently falls back to the XLA path there — the kernel
+only engages for configs with H·F ≲ 0.9M (e.g. distilled/small heads).
+XLA's own epilogue fusion already runs the bench MLPs at ~82% of bf16
+peak (BASELINE.md op-profile), so the fallback costs nothing measurable.
 """
 
 from __future__ import annotations
@@ -40,14 +48,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf(x):
+    """erf via Abramowitz–Stegun 7.1.26 (max abs err 1.5e-7).
+
+    Mosaic's TPU lowering (jax 0.9.0) has no rule for ``lax.erf_p`` /
+    ``erfc`` — only exp/tanh — so ``jax.nn.gelu(approximate=False)``
+    fails to lower inside a kernel. The 1.5e-7 polynomial error is far
+    below the bf16 cast applied to the activation before the second
+    matmul, so numerics parity with the HF exact-gelu path is preserved.
+    """
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-x * x)
+    return jnp.where(x >= 0, y, -y)
+
+
 def _act_pair(name: str):
     """(f, df) for the activation — evaluated fp32 inside the kernel."""
     if name == "gelu":                      # exact (erf) — HF default
         def f(x):
-            return jax.nn.gelu(x, approximate=False)
+            return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
 
         def df(x):
-            cdf = 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+            cdf = 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
             pdf = jnp.exp(-0.5 * x * x) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
             return cdf + x * pdf
         return f, df
@@ -131,11 +155,51 @@ def _pad_rows(x, target):
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+# Mosaic's scoped-VMEM budget for a kernel's resident working set. The
+# backward keeps BOTH [H, F] fp32 dW accumulators plus both weight blocks
+# in VMEM for the whole grid — at wav2vec2 shapes (1024×4096) that is
+# 32 MB of accumulators alone and the compile fails with a scoped-vmem
+# OOM (measured on v5e; the 768×3072 towers exceed it too at 18.9 MB).
+# Splitting F moves the traffic to dx-revisit HBM round-trips that cost
+# more than the [N, F] intermediate the kernel exists to avoid, so the
+# honest policy is: use the kernel only where the accumulators fit, and
+# fall back to the XLA path (which fuses the activation into the matmul
+# epilogue) everywhere else.
+_SCOPED_VMEM = 16 * 1024 * 1024
+
+
+def _bwd_fits_vmem(H: int, F: int, bm: int, itemsize: int) -> bool:
+    acc = 2 * H * F * 4                      # dw1 + dw2 fp32 accumulators
+    weights = 2 * H * F * itemsize           # w1 + w2 blocks (resident)
+    rows = 3 * bm * H * itemsize             # x, do, dx blocks
+    interm = 2 * bm * F * 4                  # h, dh fp32
+    return acc + weights + rows + interm <= int(0.9 * _SCOPED_VMEM)
+
+
 def fused_mlp(x, w1, b1, w2, b2, act: str = "gelu",
               interpret: bool = False):
     """``act(x @ w1 + b1) @ w2 + b2`` without materializing the
-    intermediate to HBM. x: [N, H]; w1: [H, F]; w2: [F, H]."""
+    intermediate to HBM. x: [N, H]; w1: [H, F]; w2: [F, H].
+
+    Falls back to plain XLA ops when the backward kernel's VMEM working
+    set cannot fit (see _bwd_fits_vmem) — numerics identical either way
+    (bf16 matmul legs, fp32 activation)."""
+    H, F = w1.shape
+    if not interpret and not _bwd_fits_vmem(H, F, _block_m(x.shape[0]),
+                                            jnp.dtype(x.dtype).itemsize):
+        f, _ = _act_pair(act)
+        h = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        a = f(h + b1.astype(jnp.float32)).astype(x.dtype)
+        out = jax.lax.dot_general(a, w2, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return (out + b2.astype(jnp.float32)).astype(x.dtype)
+    return _fused_mlp_pallas(x, w1, b1, w2, b2, act, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_mlp_pallas(x, w1, b1, w2, b2, act: str = "gelu",
+                      interpret: bool = False):
     return _fwd(x, w1, b1, w2, b2, act, interpret)
 
 
@@ -208,4 +272,4 @@ def _fused_mlp_bwd(act, interpret, res, do):
             dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
 
 
-fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+_fused_mlp_pallas.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

@@ -194,17 +194,24 @@ def scale_by_adam_factored(b1: float = 0.9, b2: float = 0.999,
 
     def init_fn(params):
         mu = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.bfloat16), params)
-        # unused slots are 1-element (NOT 0-element: the TPU runtime
-        # rejects zero-sized buffers in donated/threaded state trees)
-        dummy = jnp.zeros((1,), jnp.float32)
+
+        # Unused slots are 1-element (NOT 0-element: the TPU runtime
+        # rejects zero-sized buffers in donated/threaded state trees) and
+        # freshly allocated PER LEAF: sharing one dummy array across
+        # leaves donates the same device buffer multiple times in the
+        # donated train step — INVALID_ARGUMENT on TPU (CPU ignores
+        # donation, so only hardware runs caught it).
+        def dummy(_p=None):
+            return jnp.zeros((1,), jnp.float32)
+
         nu_row = jax.tree.map(
             lambda p: jnp.zeros((_rc_shape(p)[0],), jnp.float32)
-            if _factored(p) else dummy, params)
+            if _factored(p) else dummy(), params)
         nu_col = jax.tree.map(
             lambda p: jnp.zeros((_rc_shape(p)[1],), jnp.float32)
-            if _factored(p) else dummy, params)
+            if _factored(p) else dummy(), params)
         nu_full = jax.tree.map(
-            lambda p: dummy if _factored(p)
+            lambda p: dummy() if _factored(p)
             else jnp.zeros(p.shape, jnp.float32), params)
         return ScaleByAdamFactoredState(
             count=jnp.zeros((), jnp.int32), mu=mu,

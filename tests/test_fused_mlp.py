@@ -94,3 +94,29 @@ def test_fused_mlp_in_encoder_block():
         del os.environ["MME_FUSED_MLP"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_vmem_gate_falls_back_at_bench_shapes():
+    """At every bench tower's (H, F) the backward's dW accumulators exceed
+    Mosaic's scoped-VMEM budget (measured compile OOM on v5e), so
+    fused_mlp must take the XLA fallback — and stay differentiable."""
+    from mme_tpu.ops.fused_mlp import _bwd_fits_vmem, _block_m, fused_mlp
+
+    for H, F in [(768, 3072), (1024, 4096)]:   # text/video, wav2vec2
+        assert not _bwd_fits_vmem(H, F, _block_m(2560), 2)
+    assert _bwd_fits_vmem(128, 512, _block_m(256), 2)  # small config: kernel
+
+    H, F, N = 1024, 4096, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    x = _rand(ks[0], (N, H), jnp.float32)
+    w1, b1 = _rand(ks[1], (H, F), jnp.float32), _rand(ks[2], (F,), jnp.float32)
+    w2, b2 = _rand(ks[3], (F, H), jnp.float32), _rand(ks[4], (H,), jnp.float32)
+
+    def loss(*a):
+        return jnp.sum(fused_mlp(*a, "gelu", False).astype(jnp.float32) ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2)
+    ref = jnp.sum(_reference(x, w1, b1, w2, b2, "gelu") ** 2)
+    np.testing.assert_allclose(float(val), float(ref), rtol=2e-4)
+    assert all(jnp.all(jnp.isfinite(g)) for g in grads)
