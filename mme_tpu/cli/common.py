@@ -40,14 +40,20 @@ MUSTARD_SARCASM = ["not_sarcastic", "sarcastic"]
 
 
 def label_names(dataset: str, label_task: str, output_dim: int):
-    if label_task == "sarcasm" or "mustard" in dataset.lower() \
-            or "sarcasm" in dataset.lower():
+    # an explicit --label_task always beats dataset-name sniffing:
+    # MUStARD++ also ships emotion/sentiment annotations, so
+    # `--dataset mustard.pkl --label_task emotion` must NOT be renamed
+    # to sarcasm classes (binary sniffing stays for the default task)
+    ds = dataset.lower()
+    if label_task == "sarcasm":
         names = MUSTARD_SARCASM
-    elif "iemocap" in dataset.lower():
-        names = IEMOCAP_6
     elif label_task == "sentiment":
         names = MELD_SENTIMENTS
-    elif "hateful" in dataset.lower() or output_dim == 2:
+    elif "iemocap" in ds:
+        names = IEMOCAP_6
+    elif ("mustard" in ds or "sarcasm" in ds) and output_dim == 2:
+        names = MUSTARD_SARCASM
+    elif "hateful" in ds or output_dim == 2:
         names = HATEFUL
     else:
         names = MELD_EMOTIONS

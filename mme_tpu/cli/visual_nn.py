@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mme_tpu.core.config import arg_parse, config_from_args
-from mme_tpu.cli.common import run_classifier
+from mme_tpu.cli.common import resolve_pickle, run_classifier
 from mme_tpu.data.dataset import ArrayDataset
 from mme_tpu.models.video import Conv3DClassifier, SlowR50
 
@@ -53,16 +53,8 @@ def main(argv=None):
         return model.apply(variables, batch["video"],
                            deterministic=deterministic, rngs=rngs)
 
-    pkl = cfg.dataset if cfg.dataset.endswith(".pkl") else f"{cfg.dataset}.pkl"
-    if cfg.dataset != "synthetic":
-        # a named dataset whose pickle is missing is an ERROR — falling
-        # through to synthetic data would train and report metrics on
-        # noise with no signal that the path was a typo
-        if not os.path.exists(pkl):
-            raise FileNotFoundError(
-                f"dataset pickle {pkl!r} not found (--dataset "
-                f"{cfg.dataset!r}); use --dataset synthetic for random "
-                "smoke data")
+    pkl = resolve_pickle(cfg.dataset)
+    if pkl is not None:
         import pandas as pd
         from mme_tpu.data.records import (PickleDatasetConfig,
                                           build_label_map,

@@ -187,20 +187,57 @@ class PickleDatasetConfig:
     label_map: Optional[Dict[str, int]] = None
 
 
+def _stratified_take(df, label_col, seed, frac):
+    """Carve a stratified ``frac`` slice off ``df`` → (remainder, slice)."""
+    rng = np.random.RandomState(seed)
+    idx = np.arange(len(df))
+    labels = df[label_col].values
+    take = []
+    for c in np.unique(labels):
+        ci = idx[labels == c]
+        rng.shuffle(ci)
+        k = max(1, int(round(len(ci) * frac)))
+        take.extend(ci[:k])
+    take = np.sort(np.asarray(take, dtype=int))
+    mask = np.ones(len(df), bool)
+    mask[take] = False
+    return df.iloc[np.flatnonzero(mask)], df.iloc[take]
+
+
 def split_dataframe(df, cfg: PickleDatasetConfig):
     """split column when present (tav_nn.py:155-163), else stratified
-    75/12.5/12.5 (SingleModels/audio_nn.py:109-121). A split column whose
-    val or test partition is EMPTY (e.g. a pickle built from one CSV)
-    falls back to the stratified split rather than training with no
-    evaluation data."""
+    75/12.5/12.5 (SingleModels/audio_nn.py:109-121).
+
+    A split column with SOME empty partitions is handled without ever
+    folding official held-out rows back into training: a missing val
+    (or test) partition is carved out of the official TRAIN rows only
+    (stratified 12.5%), while every non-empty official partition is kept
+    verbatim. Only when no held-out partition exists at all (a pickle
+    built from one CSV: everything is "train") does the full stratified
+    re-split run."""
     if cfg.split_col in df.columns:
-        parts = (df[df[cfg.split_col] == "train"],
-                 df[df[cfg.split_col] == "val"],
-                 df[df[cfg.split_col] == "test"])
-        if all(len(p) > 0 for p in parts):
-            return parts
-        print("split column present but a partition is empty — using the "
-              "stratified 75/12.5/12.5 split instead", flush=True)
+        train = df[df[cfg.split_col] == "train"]
+        val = df[df[cfg.split_col] == "val"]
+        test = df[df[cfg.split_col] == "test"]
+        if len(train) > 0 and len(val) > 0 and len(test) > 0:
+            return train, val, test
+        if len(train) > 0 and (len(val) > 0 or len(test) > 0):
+            # official held-out data exists — never re-split it
+            if len(val) == 0:
+                train, val = _stratified_take(train, cfg.label_col,
+                                              cfg.seed, 0.125)
+                print("split column has no val rows — carved a stratified "
+                      "12.5% val set out of the official train split "
+                      "(official test untouched)", flush=True)
+            if len(test) == 0:
+                train, test = _stratified_take(train, cfg.label_col,
+                                               cfg.seed + 1, 0.125)
+                print("split column has no test rows — carved a stratified "
+                      "12.5% test set out of the official train split "
+                      "(official val untouched)", flush=True)
+            return train, val, test
+        print("split column present but no usable train/eval partitions — "
+              "using the stratified 75/12.5/12.5 split instead", flush=True)
     rng = np.random.RandomState(cfg.seed)
     idx = np.arange(len(df))
     labels = df[cfg.label_col].values

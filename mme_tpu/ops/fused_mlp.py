@@ -165,7 +165,29 @@ def _pad_rows(x, target):
 # honest policy is: use the kernel only where the accumulators fit, and
 # fall back to the XLA path (which fuses the activation into the matmul
 # epilogue) everywhere else.
+#
+# The 16 MB budget is Mosaic's DEFAULT, not the hardware's: v5e has
+# 128 MB of VMEM and ``CompilerParams.vmem_limit_bytes`` raises the
+# per-kernel cap. MME_MLP_VMEM_MB lifts both the gate and the compiled
+# limit together (e.g. 64 admits the 768×3072 towers, ~96 the wav2vec2
+# 1024×4096 MLP) — at the cost of VMEM that Mosaic would otherwise use
+# to double-buffer the streaming row blocks, so whether it WINS is an
+# empirical, per-shape question (bench it before making it a default).
 _SCOPED_VMEM = 16 * 1024 * 1024
+
+
+def _vmem_budget() -> int:
+    try:
+        mb = int(os.environ.get("MME_MLP_VMEM_MB", "16"))
+    except ValueError:
+        mb = 16
+    return max(mb, 16) * 1024 * 1024
+
+
+def _compiler_params() -> pltpu.CompilerParams:
+    budget = _vmem_budget()
+    kw = {"vmem_limit_bytes": budget} if budget > _SCOPED_VMEM else {}
+    return pltpu.CompilerParams(dimension_semantics=("arbitrary",), **kw)
 
 
 def _bwd_fits_vmem(H: int, F: int, bm: int, itemsize: int) -> bool:
@@ -173,7 +195,7 @@ def _bwd_fits_vmem(H: int, F: int, bm: int, itemsize: int) -> bool:
     weights = 2 * H * F * itemsize           # w1 + w2 blocks (resident)
     rows = 3 * bm * H * itemsize             # x, do, dx blocks
     interm = 2 * bm * F * 4                  # h, dh fp32
-    return acc + weights + rows + interm <= int(0.9 * _SCOPED_VMEM)
+    return acc + weights + rows + interm <= int(0.9 * _vmem_budget())
 
 
 def fused_mlp(x, w1, b1, w2, b2, act: str = "gelu",
@@ -221,19 +243,18 @@ def _fwd(x, w1, b1, w2, b2, act, interpret):
         ],
         out_specs=pl.BlockSpec((bm, H), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, H), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xr, w1, b1.reshape(1, F), w2, b2.reshape(1, H))
     return out[:N]
 
 
 def _fused_mlp_fwd(x, w1, b1, w2, b2, act, interpret):
-    return _fwd(x, w1, b1, w2, b2, act, interpret), (x, w1, b1, w2)
+    return _fwd(x, w1, b1, w2, b2, act, interpret), (x, w1, b1, w2, b2)
 
 
 def _fused_mlp_bwd(act, interpret, res, do):
-    x, w1, b1, w2 = res
+    x, w1, b1, w2, b2 = res
     N, H = x.shape
     F = w1.shape[1]
     bm = _block_m(N)
@@ -264,12 +285,11 @@ def _fused_mlp_bwd(act, interpret, res, do):
             jax.ShapeDtypeStruct((1, F), jnp.float32),
             jax.ShapeDtypeStruct((1, H), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xr, w1, b1.reshape(1, F), w2, dor)
     return (dx[:N], dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
-            dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
 
 
 _fused_mlp_pallas.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

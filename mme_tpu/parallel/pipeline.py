@@ -99,6 +99,13 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array, Optional[jax.Array],
         is_last = idx == n_stages - 1
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
         stage_rng_base = jax.random.fold_in(base_rng, idx)
+        if batch_axis is not None:
+            # dp×pp: without this fold every dp shard of a microbatch
+            # would draw the IDENTICAL dropout mask for different samples
+            # (rng enters shard_map replicated), dividing dropout
+            # diversity by the dp degree
+            stage_rng_base = jax.random.fold_in(
+                stage_rng_base, jax.lax.axis_index(batch_axis))
 
         outputs = jnp.zeros((M,) + mbs.shape[1:], mbs.dtype)
 

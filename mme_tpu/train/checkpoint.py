@@ -27,6 +27,14 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _process_count() -> int:
+    """Host count for the multi-host GC guard (patchable in tests)."""
+    try:
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
 class CheckpointManager:
     def __init__(self, directory: str, use_async: Optional[bool] = None):
         self.directory = os.path.abspath(directory)
@@ -51,8 +59,17 @@ class CheckpointManager:
         unreferenced forever — multi-GB per preemption cycle. Dirs of
         LIVE pids are in-flight saves (another manager on this dir, or
         a parallel worker) and are left alone; the referenced dir (the
-        durable best) is never touched."""
+        durable best) is never touched.
+
+        Multi-host guard: the ``os.kill(pid, 0)`` liveness probe is
+        HOST-LOCAL. On a shared checkpoint directory (NFS/GCS-fuse under
+        ``jax.distributed``), another host's in-flight save would look
+        dead here and get deleted mid-write — so GC only runs in
+        single-process mode (orphans from multi-host runs are left for a
+        later single-process manager to collect)."""
         import shutil
+        if _process_count() > 1:
+            return
         keep = os.path.basename(self.best_path)
         try:
             entries = os.listdir(self.directory)
