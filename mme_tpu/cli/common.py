@@ -130,7 +130,10 @@ def run_classifier(cfg: ExperimentConfig,
         loss_fn=loss_fn,
         # MME_LOG_NORMS=1 → per-module grad/weight norms in every train
         # log line (reference wandb.watch(log="all"), tav_nn.py:103-104)
-        log_module_norms=os.environ.get("MME_LOG_NORMS") == "1")
+        log_module_norms=os.environ.get("MME_LOG_NORMS") == "1",
+        # MME_LOG_HISTS=1 → per-module magnitude histograms too (full
+        # wandb.watch(log="all") parity; steps.magnitude_histogram)
+        log_histograms=os.environ.get("MME_LOG_HISTS") == "1")
     eval_step = make_eval_step(apply_fn, num_classes=num_classes,
                                has_batch_stats=batch_stats is not None,
                                has_aux_loss=has_aux_loss, loss_fn=loss_fn)

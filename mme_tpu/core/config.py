@@ -192,7 +192,17 @@ def config_from_args(args: Any, **overrides: Any) -> ExperimentConfig:
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw.update(overrides)
-    return ExperimentConfig(**kw)
+    cfg = ExperimentConfig(**kw)
+    # MME_MP=<n> / MME_DP=<n>: mesh layout from the environment — makes
+    # tensor parallelism a CLI training option like MME_SP/MME_PP (the
+    # auto mesh in cli/common.py reads cfg.mesh; params are Megatron-
+    # sharded by train/loop.py::shard_state_tp over the "mp" axis).
+    mp = int(os.environ.get("MME_MP", "0") or 0)
+    dp = int(os.environ.get("MME_DP", "0") or 0)
+    if mp > 1 or dp > 0:
+        cfg = cfg.replace(mesh=dataclasses.replace(
+            cfg.mesh, model=max(mp, 1), data=dp if dp > 0 else -1))
+    return cfg
 
 
 def apply_sweep_overrides(cfg: ExperimentConfig,

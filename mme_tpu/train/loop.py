@@ -287,7 +287,13 @@ def train_network(train_step, eval_step, state: TrainState,
                     # the reference's wandb.watch(log="all") signal)
                     d["train/grad_norm"] = float(grad_norm["total"])
                     for k, v in grad_norm.items():
-                        if k != "total":
+                        if k == "total":
+                            continue
+                        if k.startswith("hist/"):
+                            # MME_LOG_HISTS magnitude histograms
+                            # (steps.magnitude_histogram) — bucket counts
+                            d[f"train/{k}"] = np.asarray(v).tolist()
+                        else:
                             d[f"train/norms/{k}"] = float(v)
                 else:
                     d["train/grad_norm"] = float(grad_norm)

@@ -55,6 +55,30 @@ class TrainState(struct.PyTreeNode):
                    batch_stats=batch_stats)
 
 
+HIST_BUCKETS = 17  # bucket 0: exact zeros; 1..16: |x| exponent ranges
+
+
+def magnitude_histogram(tree: Any) -> jax.Array:
+    """17-bucket magnitude histogram over every element of a pytree.
+
+    Bucket 0 counts exact zeros; bucket ``i`` (1..16) counts elements with
+    ``floor(log2 |x|)`` in ``[-40 + 3(i-1), -40 + 3i)`` (clipped at the
+    ends), spanning ~1e-12 .. ~3e2. The on-device summary for
+    ``MME_LOG_HISTS=1`` — the reference uploads full weight/grad
+    histograms to wandb every step (``wandb.watch(log="all")``,
+    ``tav_nn.py:103-104``); a fixed-bucket exponent histogram carries the
+    same debugging signal (dead/underflowing/exploding tensors) in 17
+    ints per module instead of histogram-sized transfers."""
+    parts = [jnp.ravel(l).astype(jnp.float32)
+             for l in jax.tree.leaves(tree)]
+    x = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    nz = x != 0
+    e = jnp.floor(jnp.log2(jnp.where(nz, jnp.abs(x), 1.0)))
+    idx = jnp.where(nz, 1 + jnp.clip((e + 40) // 3, 0, 15).astype(jnp.int32),
+                    0)
+    return jnp.zeros((HIST_BUCKETS,), jnp.int32).at[idx].add(1)
+
+
 def make_optimizer(lr_schedule: Callable, weight_decay: float,
                    clip: float,
                    trainable_mask: Any = None,
@@ -108,6 +132,7 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                     has_aux_loss: bool = False,
                     loss_fn: Optional[Callable] = None,
                     log_module_norms: bool = False,
+                    log_histograms: bool = False,
                     grads_dtype: Optional[Any] = None):
     """Build the jitted train step.
 
@@ -208,12 +233,21 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
         # module norm dict for both grads and weights (the
         # divergence-debugging signal, without histogram-sized transfers).
         from mme_tpu.train.optim import global_norm_f32
-        if log_module_norms and isinstance(grads, dict):
+        if (log_module_norms or log_histograms) and isinstance(grads, dict):
             grad_norm = {"total": global_norm_f32(grads)}
             for k, v in grads.items():
                 grad_norm[f"grad/{k}"] = global_norm_f32(v)
             for k, v in state.params.items():
                 grad_norm[f"param/{k}"] = global_norm_f32(v)
+            if log_histograms:
+                # full wandb.watch(log="all") parity: per-module value
+                # histograms every log line (magnitude-bucketed — the
+                # useful axes for divergence/underflow debugging are
+                # "how many zeros" and "what exponent range")
+                for k, v in grads.items():
+                    grad_norm[f"hist/grad/{k}"] = magnitude_histogram(v)
+                for k, v in state.params.items():
+                    grad_norm[f"hist/param/{k}"] = magnitude_histogram(v)
         else:
             grad_norm = global_norm_f32(grads)
 

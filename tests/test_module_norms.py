@@ -79,3 +79,84 @@ def test_loop_logs_module_norms(tmp_path, monkeypatch):
     assert any(k.startswith("train/norms/grad/") for k in norm_keys), \
         norm_keys
     assert any(k.startswith("train/norms/param/") for k in norm_keys)
+
+
+def test_magnitude_histogram_counts():
+    """Bucket counts: total elements preserved; zeros land in bucket 0;
+    known magnitudes land in their exponent buckets."""
+    from mme_tpu.train.steps import HIST_BUCKETS, magnitude_histogram
+
+    tree = {"a": jnp.asarray([0.0, 0.0, 1.0, -1.0], jnp.float32),
+            "b": jnp.asarray([[1e-13, 256.0]], jnp.float32)}
+    h = np.asarray(magnitude_histogram(tree))
+    assert h.shape == (HIST_BUCKETS,)
+    assert h.sum() == 6
+    assert h[0] == 2                       # exact zeros
+    # |1.0| → e=0 → bucket 1 + (0+40)//3 = 1+13 = 14 (two elements)
+    assert h[14] == 2
+    # 1e-13 underflows the range → clipped to bucket 1
+    assert h[1] == 1
+    # 256 → e=8 → (8+40)//3 = 16 clipped to 15 → bucket 16
+    assert h[16] == 1
+
+
+def test_step_emits_histograms():
+    """log_histograms=True adds hist/grad/* and hist/param/* arrays whose
+    counts equal each module's element count."""
+    model = TwoTower()
+    batch = {"x": jnp.asarray(np.random.RandomState(0).randn(4, 6),
+                              jnp.float32)}
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+    def apply_fn(variables, b, deterministic=True, rngs=None, mutable=None):
+        return model.apply(variables, b, deterministic=deterministic)
+
+    tx = make_optimizer(1e-3, 1e-4, 10.0)
+    state = TrainState.create(params, tx, use_accum=False)
+    step = make_train_step(apply_fn, tx, num_classes=3, donate=False,
+                           log_histograms=True)
+    labels = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    ones = jnp.ones((4,), jnp.int32)
+    cw = jnp.ones((3,), jnp.float32)
+    _, _, _, norms = step(state, batch, labels, ones, cw,
+                          jnp.asarray(1.0, jnp.float32), jnp.asarray(True),
+                          jax.random.PRNGKey(1))
+    for mod in ("tower_a", "tower_b", "head"):
+        n_elem = sum(int(np.prod(p.shape))
+                     for p in jax.tree.leaves(params[mod]))
+        assert int(np.asarray(norms[f"hist/grad/{mod}"]).sum()) == n_elem
+        assert int(np.asarray(norms[f"hist/param/{mod}"]).sum()) == n_elem
+    # norms still present alongside
+    assert "grad/head" in norms and "param/head" in norms
+
+
+def test_loop_logs_histograms(tmp_path, monkeypatch):
+    """MME_LOG_HISTS=1 puts train/hist/* bucket lists in the metrics
+    stream (full wandb.watch(log="all") parity)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("MME_LOG_NORMS", raising=False)
+    monkeypatch.setenv("MME_LOG_HISTS", "1")
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from mme_tpu.cli import tav_nn
+    from mme_tpu.train.steps import HIST_BUCKETS
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tav_nn.main(["-d", "synthetic", "-e", "1", "-b", "8", "-y", "7",
+                     "-l", "1e-4"])
+    hists = {}
+    for line in buf.getvalue().splitlines():
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        hists.update({k: v for k, v in d.items()
+                      if k.startswith("train/hist/")})
+    assert any(k.startswith("train/hist/grad/") for k in hists), hists.keys()
+    assert any(k.startswith("train/hist/param/") for k in hists)
+    for v in hists.values():
+        assert isinstance(v, list) and len(v) == HIST_BUCKETS
+        assert all(isinstance(c, int) for c in v)

@@ -15,7 +15,8 @@ def _run_cli(tmp_path, monkeypatch, tag, env):
     d = tmp_path / tag
     d.mkdir()
     monkeypatch.chdir(d)
-    for k in ("MME_SP", "MME_PP", "MME_PP_MICRO", "MME_MESH"):
+    for k in ("MME_SP", "MME_PP", "MME_PP_MICRO", "MME_MESH", "MME_MP",
+              "MME_DP"):
         monkeypatch.delenv(k, raising=False)
     for k, v in env.items():
         monkeypatch.setenv(k, v)
@@ -64,6 +65,18 @@ def test_cli_trains_under_pp(tmp_path, monkeypatch, baseline):
         pytest.skip("needs the virtual 8-device CPU mesh")
     summary = _run_cli(tmp_path, monkeypatch, "pp",
                        {"MME_PP": "2", "MME_PP_MICRO": "2"})
+    _assert_matches(summary, baseline)
+
+
+def test_cli_trains_under_tp(tmp_path, monkeypatch, baseline):
+    """MME_MP=2: Megatron tensor parallelism from the CLI — the auto mesh
+    in cli/common.py becomes dp=4×mp=2 and train/loop.py Megatron-shards
+    the params over "mp" (parallel/sharding_rules.py). Numerics must match
+    the plain run (TP is exact up to fp reassociation of the sharded
+    matmuls)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    summary = _run_cli(tmp_path, monkeypatch, "tp", {"MME_MP": "2"})
     _assert_matches(summary, baseline)
 
 
