@@ -70,11 +70,14 @@ def main():
     # the measured-best default: 32.6 vs 32.2 utt/s fp32 at batch 8, and
     # ~4.8 GB less HBM (MME_OPT_STATE=fp32 reverts)
     os.environ.setdefault("MME_OPT_STATE", "bf16")
-    # Flash-attention block sizes: BQ=512 with a full-sequence K block
-    # (1464 = video-tower seq; the kernel caps bk at each tower's seq_k)
-    # measured 37.4 utt/s vs 33.9 at 512/512 and 33.1 at the 256/512
-    # kernel defaults — fewer grid revisits of the dq accumulator
-    # dominates the larger VMEM working set at these sequence lengths.
+    # Flash-attention block sizes: BQ=512 with a full-sequence FORWARD K
+    # block (1464 = video-tower seq; the kernel caps bk at each tower's
+    # seq_k) measured 37.4 utt/s vs 33.9 at 512/512 and 33.1 at the
+    # 256/512 kernel defaults — one K pass per q block. The BACKWARD
+    # keeps its own small k-tile (MME_FLASH_BK_BWD, default 488): its
+    # [bk, bq] fp32 temporaries put bk=1464 at ~16.3 MB scoped VMEM —
+    # over the 16 MB budget once the round-3 fusion-trunk flash path
+    # shifted allocator luck — and bwd tile size was measured a wash.
     os.environ.setdefault("MME_FLASH_BQ", "512")
     os.environ.setdefault("MME_FLASH_BK", "1464")
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))

@@ -50,12 +50,61 @@ class VideoMAESpec:
         return VideoMAESpec(**kw)
 
 
+class _TubeletProj(nn.Module):
+    """The tubelet projection, stored as the [(t,p,p,C), hidden] matmul
+    kernel (same param tree/init as the former ``nn.Dense(name="proj")``,
+    so HF imports and round-2 checkpoints load unchanged) but APPLIED as
+    ``t`` stride-``p`` 2-D convolutions summed over the tubelet offset.
+
+    Why: the reshape+8-D-transpose+matmul formulation materialized the
+    patch shuffle as an XLA copy running at 47 GiB/s (~2.8 ms/step at the
+    bench shape — the single most expensive non-matmul op in the round-3
+    profile). A kernel-sized-stride conv2d lets the TPU conv emitter do
+    the patchification during the MXU operand fetch instead:
+    reshape+matmul 5.42 ms → conv2d×2 2.88 ms measured standalone
+    (scripts/patchify_bench.py; conv3d is slower, 6.11 ms)."""
+
+    features: int
+    tubelet_size: int
+    patch_size: int
+    channels: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jax.Array) -> jax.Array:
+        t, p, c = self.tubelet_size, self.patch_size, self.channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (t * p * p * c, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        B, T, H, W, C = video.shape
+        x = video.astype(self.dtype)
+        w = kernel.reshape(t, p, p, c, self.features).astype(self.dtype)
+        out = None
+        for i in range(t):
+            # [B, T', H, W, C]: frames at tubelet offset i (strided slice —
+            # coalesced [H,W,C] chunks, unlike the old fine-grained shuffle)
+            frames = x.reshape(B, T // t, t, H, W, C)[:, :, i]
+            frames = frames.reshape(B * (T // t), H, W, C)
+            o = jax.lax.conv_general_dilated(
+                frames, w[i], (p, p), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = o if out is None else out + o
+        n_tok = (T // t) * (H // p) * (W // p)
+        return (out.reshape(B, n_tok, self.features)
+                + bias.astype(self.dtype))
+
+
 class TubeletEmbed(nn.Module):
-    """Non-overlapping 3-D patch embedding as reshape + matmul.
+    """Non-overlapping 3-D patch embedding.
 
     Equivalent to HF's Conv3d(kernel=(t,p,p), stride=(t,p,p)); the importer
-    reshapes the conv weight into this kernel. Output token order is
-    (t', h', w') — identical to HF's ``flatten(2).transpose``."""
+    reshapes the conv weight into the [(t,p,p,C), hidden] matmul kernel.
+    Output token order is (t', h', w') — identical to HF's
+    ``flatten(2).transpose``. Applied as summed stride-p conv2ds, see
+    :class:`_TubeletProj`."""
 
     spec: VideoMAESpec
 
@@ -63,13 +112,10 @@ class TubeletEmbed(nn.Module):
     def __call__(self, video: jax.Array) -> jax.Array:
         s = self.spec
         e = s.encoder
-        B, T, H, W, C = video.shape
-        t, p = s.tubelet_size, s.patch_size
-        x = video.reshape(B, T // t, t, H // p, p, W // p, p, C)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B,T',H',W', t,p,p,C]
-        x = x.reshape(B, (T // t) * (H // p) * (W // p), t * p * p * C)
-        return nn.Dense(e.hidden, dtype=e.dtype, param_dtype=e.param_dtype,
-                        name="proj")(x)
+        return _TubeletProj(features=e.hidden, tubelet_size=s.tubelet_size,
+                            patch_size=s.patch_size, channels=s.channels,
+                            dtype=e.dtype, param_dtype=e.param_dtype,
+                            name="proj")(video)
 
 
 class VideoMAEModel(nn.Module):

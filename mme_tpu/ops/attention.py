@@ -52,9 +52,18 @@ def _decide_flash(seq: int, head_dim: int, bias) -> bool:
     on_tpu = jax.default_backend() == "tpu"
     bias_ok = bias is None or (bias.ndim == 4 and bias.shape[1] == 1
                                and bias.shape[2] == 1)
-    # measured on v5e (tests + /tmp/flash_bench.py): flash wins ≥1.3×
-    # fwd and ≥1.6× bwd from ~1k tokens; XLA wins below ~512
-    return (on_tpu and seq >= 1024 and head_dim in (64, 128) and bias_ok
+    # crossover measured on v5e (scripts/flash_crossover.py, fwd+bwd with
+    # q/k/v grads + key bias, head-packed merged-bwd kernel): flash wins
+    # at S=473 (fusion trunk, 1.07×) and S=512 (1.24×); XLA wins at
+    # S=299 (audio) and S=70 (text). 448 splits the measured points; the
+    # flash path also avoids materializing the [B,H,S,S] fp32 probs XLA
+    # saves for its backward (~1.3 GB across the 12 fusion layers).
+    # Round-1's ≥1024 threshold predates head packing + the merged bwd.
+    try:
+        min_seq = int(os.environ.get("MME_FLASH_MIN_SEQ", 448))
+    except ValueError:
+        min_seq = 448
+    return (on_tpu and seq >= min_seq and head_dim in (64, 128) and bias_ok
             and os.environ.get("MME_FLASH", "1") != "0")
 
 

@@ -46,13 +46,28 @@ NEG_INF = -1e30
 LSE_MASKED = 1e30  # lse sentinel for fully-masked rows: exp(s - 1e30) == 0
 DEFAULT_BLOCK_Q = 512   # 512/512 measured 33.9 vs 33.1 utt/s at 256/512
 DEFAULT_BLOCK_K = 512   # bench.py raises BK to full-seq (measured 37.4)
+DEFAULT_BLOCK_K_BWD = 512  # lane-dim rule: bk must be a multiple of 128
+#                            (the [B,1,Sk] bias block carries bk on lanes)
+#                            or the full padded seq; 512 keeps the merged
+#                            bwd kernel ~9 MB of scoped VMEM (16 MB budget)
 
 
-def _block_sizes(seq_q: int, seq_k: int):
+def _block_sizes(seq_q: int, seq_k: int, bwd: bool = False):
     """Read MME_FLASH_BQ/BK at TRACE time (a jitted fn keeps the block
     sizes it was compiled with — rebuild the jit to re-read). Invalid or
     non-positive values fall back to the defaults instead of crashing
-    every attention call."""
+    every attention call.
+
+    ``bwd``: the backward reads MME_FLASH_BK_BWD for its k-tile (default
+    DEFAULT_BLOCK_K_BWD). The full-sequence K block that wins the FORWARD
+    (one K pass per q block, measured 37.4 vs 33.9 utt/s, BASELINE.md) is
+    VMEM-hostile in the merged backward: its s/p/dp temporaries are
+    [bk, bq] fp32, and bk=1464 · bq=512 puts the kernel at ~16.3 MB of
+    scoped VMEM — right at the 16 MB budget, where compile success
+    depended on allocator luck. The backward was measured a WASH between
+    bk=512 and bk=1464 (its dq-accumulator revisit traffic is ~1 MB per
+    extra k-tile — noise), so it keeps a small tile and the forward keeps
+    the full-sequence win."""
     import os
 
     def read(name, default):
@@ -63,7 +78,10 @@ def _block_sizes(seq_q: int, seq_k: int):
         return v if v > 0 else default
 
     bq = min(read("MME_FLASH_BQ", DEFAULT_BLOCK_Q), seq_q)
-    bk = min(read("MME_FLASH_BK", DEFAULT_BLOCK_K), seq_k)
+    if bwd:
+        bk = min(read("MME_FLASH_BK_BWD", DEFAULT_BLOCK_K_BWD), seq_k)
+    else:
+        bk = min(read("MME_FLASH_BK", DEFAULT_BLOCK_K), seq_k)
     return bq, bk
 
 
@@ -277,7 +295,7 @@ def _bwd_packed(q, k, v, bias_k, out, lse, do, head_dim, pack, interpret):
     B = bias_k.shape[0]
     gpb = G // B
     Sk0 = k.shape[1]
-    bq, bk = _block_sizes(Sq0, Sk0)
+    bq, bk = _block_sizes(Sq0, Sk0, bwd=True)
     Sq, Sk = _round_up(Sq0, bq), _round_up(Sk0, bk)
     scale = 1.0 / (head_dim ** 0.5)
     qr = _pad_seq(q, Sq)

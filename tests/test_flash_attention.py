@@ -157,3 +157,21 @@ def test_bf16_inputs():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=2e-2)
+
+
+def test_dispatch_threshold_covers_fusion_trunk(monkeypatch):
+    """Round-3 crossover (scripts/flash_crossover.py): the head-packed
+    merged-bwd kernel wins from S≈473 (fusion trunk) but not at S=299
+    (audio) or S=70 (text). Pin the dispatcher to that measurement."""
+    from mme_tpu.ops import attention as att
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("MME_FLASH_MIN_SEQ", raising=False)
+    monkeypatch.delenv("MME_FLASH", raising=False)
+    assert att._decide_flash(1464, 64, None)      # video tower
+    assert att._decide_flash(473, 64, None)       # fusion trunk (round 3)
+    assert not att._decide_flash(299, 64, None)   # audio: XLA still wins
+    assert not att._decide_flash(70, 64, None)    # text
+    monkeypatch.setenv("MME_FLASH_MIN_SEQ", "200")
+    assert att._decide_flash(299, 64, None)
+    monkeypatch.setenv("MME_FLASH", "0")
+    assert not att._decide_flash(1464, 64, None)

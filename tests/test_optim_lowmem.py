@@ -191,3 +191,22 @@ def test_bf16_state_no_stall():
     expect = 1e-3 * (1 - 0.9 ** 50)
     # mean over 1024 independent SR draws ≈ the true fp32 EMA
     assert abs(mu.mean() - expect) / expect < 0.05
+
+
+def test_stochastic_round_pair_unbiased_both_halves():
+    """stochastic_round_bf16_pair dithers two tensors from ONE u32 draw
+    (low/high 16 bits) — both outputs must be individually unbiased and
+    land on bf16 neighbours (optim.py round-3 rng-traffic halving)."""
+    from mme_tpu.train.optim import stochastic_round_bf16_pair
+    a = jnp.asarray([1.00390625e-3, -2.7182818, 3.1415926, 1e-8, -1e-8,
+                     0.333333], jnp.float32)
+    b = -0.37 * a
+    keys = jax.random.split(jax.random.PRNGKey(7), 4096)
+    ra, rb = jax.vmap(lambda k: stochastic_round_bf16_pair(a, b, k))(keys)
+    for x, r in ((a, ra), (b, rb)):
+        mean = np.asarray(r.astype(jnp.float32)).mean(axis=0)
+        np.testing.assert_allclose(mean, np.asarray(x), rtol=2e-4,
+                                   atol=1e-12)
+        lo = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32))
+        assert (np.abs(np.asarray(r.astype(jnp.float32)) - lo[None, :])
+                <= np.abs(lo[None, :]) * 2 ** -7 + 1e-12).all()

@@ -12,7 +12,7 @@ torch = pytest.importorskip("torch")
 from transformers import VideoMAEConfig, VideoMAEModel as HFVideoMAE  # noqa: E402
 
 from mme_tpu.models.layers import EncoderSpec
-from mme_tpu.models.video import VideoMAEModel, VideoMAESpec
+from mme_tpu.models.video import TubeletEmbed, VideoMAEModel, VideoMAESpec
 from mme_tpu.models.hf_import import convert_videomae
 from mme_tpu.ops.video import balanced_keep_mask, gather_visible
 
@@ -89,3 +89,27 @@ def test_gather_visible_preserves_order():
                         [False, False, True, True, False, True]])
     out = np.asarray(gather_visible(x, keep, 3)).squeeze(-1)
     np.testing.assert_array_equal(out, [[0, 2, 4], [8, 9, 11]])
+
+
+def test_tubelet_embed_conv2d_matches_matmul_formulation():
+    """TubeletEmbed is applied as summed stride-p conv2ds (round 3 — the
+    reshape+8D-transpose formulation materialized a 47 GiB/s copy, see
+    scripts/patchify_bench.py) but stores the SAME [(t,p,p,C), hidden]
+    matmul kernel. Pin equivalence to the matmul formulation."""
+    spec = VideoMAESpec(image_size=32, patch_size=16, num_frames=4,
+                        tubelet_size=2)
+    m = TubeletEmbed(spec)
+    v = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(1), v)
+    out = m.apply(params, v)
+    k = params["params"]["proj"]["kernel"]
+    b = params["params"]["proj"]["bias"]
+    assert k.shape == (2 * 16 * 16 * 3, 768)  # HF-import layout unchanged
+    B, T, H, W, C = v.shape
+    t = p = None
+    t, p = 2, 16
+    x = v.reshape(B, T // t, t, H // p, p, W // p, p, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    x = x.reshape(B, (T // t) * (H // p) * (W // p), t * p * p * C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ k + b),
+                               atol=2e-5)
