@@ -74,7 +74,8 @@ def main():
     # block (1464 = video-tower seq; the kernel caps bk at each tower's
     # seq_k) measured 37.4 utt/s vs 33.9 at 512/512 and 33.1 at the
     # 256/512 kernel defaults — one K pass per q block. The BACKWARD
-    # keeps its own small k-tile (MME_FLASH_BK_BWD, default 488): its
+    # keeps its own small k-tile (MME_FLASH_BK_BWD, default 512 — must
+    # be a multiple of 128 or the full padded seq, lane rule): its
     # [bk, bq] fp32 temporaries put bk=1464 at ~16.3 MB scoped VMEM —
     # over the 16 MB budget once the round-3 fusion-trunk flash path
     # shifted allocator luck — and bwd tile size was measured a wash.

@@ -56,10 +56,13 @@ def main(argv=None):
         # label ids factorize over the FULL (post-filter) frame so a class
         # missing from one split cannot shift val/test ids
         rcfg.label_map = build_label_map(df, rcfg.label_col)
+        from mme_tpu.cli.common import invert_label_map
+        id2label = invert_label_map(rcfg.label_map)
         tr, va, te = split_dataframe(df, rcfg)
         train_ds, val_ds, test_ds = (build_audio_dataset(x, rcfg)
                                      for x in (tr, va, te))
     else:
+        id2label = None
         mk = lambda n, s: synthetic_audio_dataset(
             n, audio_len=audio_len, num_classes=cfg.output_dim, seed=s)
         train_ds, val_ds, test_ds = mk(128, 0), mk(32, 1), mk(32, 2)
@@ -95,7 +98,7 @@ def main(argv=None):
         print(f"length buckets: {bounds}", flush=True)
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
                           rng_names=("dropout", "spec_augment"),
-                          batch_iter=batch_iter)
+                          batch_iter=batch_iter, id2label=id2label)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,14 @@ def label_names(dataset: str, label_task: str, output_dim: int):
     return {i: n for i, n in enumerate(names)}
 
 
+def invert_label_map(label_map) -> Optional[Dict[int, str]]:
+    """records.build_label_map's name→id (alphabetical) → the id→name map
+    Metrics must display. None passes through (integer-labeled data)."""
+    if label_map is None:
+        return None
+    return {i: n for n, i in label_map.items()}
+
+
 def resolve_pickle(dataset: str) -> Optional[str]:
     """--dataset → pickle path, or None for the synthetic smoke data.
     A NAMED dataset whose pickle is missing raises — falling through to
@@ -95,14 +103,23 @@ def run_classifier(cfg: ExperimentConfig,
                    rng_names: Tuple[str, ...] = ("dropout",),
                    batch_iter=None,
                    has_aux_loss: bool = False,
-                   mesh=None) -> Dict[str, float]:
+                   mesh=None,
+                   id2label=None) -> Dict[str, float]:
     """The generic runModel: wire optimizer/steps/metrics/loop and train.
 
     ``mesh``: a caller-built mesh (e.g. cli/tav_nn.py's dp×sp / dp×pp from
     MME_SP/MME_PP) — overrides the auto dp(×mp) mesh below. The batch is
-    sharded over its "dp" axis."""
+    sharded over its "dp" axis.
+
+    ``id2label``: the ACTUAL id→name map of the loaded dataset. String
+    labels factorize alphabetically (records.build_label_map), which need
+    not match the hardcoded display orders above — per-class metric names
+    would be silently permuted. CLIs that build a label_map must pass its
+    inverse here; the name-order heuristics only cover synthetic /
+    integer-labeled data."""
     num_classes = cfg.output_dim
-    id2label = label_names(cfg.dataset, cfg.label_task, num_classes)
+    if id2label is None:
+        id2label = label_names(cfg.dataset, cfg.label_task, num_classes)
     metric = Metrics(num_classes, id2label)
 
     counts = np.bincount(train_ds.labels, minlength=num_classes)

@@ -129,6 +129,8 @@ def main(argv=None):
                                    # batch transform normalizes on device
                                    video_uint8=True)
         rcfg.label_map = build_label_map(df, rcfg.label_col)
+        from mme_tpu.cli.common import invert_label_map
+        id2label = invert_label_map(rcfg.label_map)
         tok = get_tokenizer(
             None if spec.text.vocab_size != 50265 else
             "j-hartmann/emotion-english-distilroberta-base",
@@ -141,6 +143,7 @@ def main(argv=None):
                               keyframe_glob=kf)
             for x in (tr, va, te))
     else:
+        id2label = None
         mk = lambda n, s: synthetic_tav_dataset(
             spec, n, text_len=text_len, audio_len=audio_len,
             num_classes=cfg.output_dim, seed=s)
@@ -170,7 +173,8 @@ def main(argv=None):
                           trainable_mask=modality_embedding_trainable_mask(
                               params, spec.learn_pos_embeddings),
                           rng_names=("dropout", "spec_augment"),
-                          has_aux_loss=is_moe, mesh=mesh)
+                          has_aux_loss=is_moe, mesh=mesh,
+                          id2label=id2label)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,9 @@ from mme_tpu.models.text import BertClassifier, LSTMClassifier, TextEncoderSpec
 
 def _load_datasets(cfg, vocab_size, tokenizer=None):
     """Reference pickle when the path exists (utils/data_loaders.py:256-273
-    BertDataset contract); synthetic otherwise."""
+    BertDataset contract); synthetic otherwise. Returns (train, val, test,
+    id2label) — id2label is the pickle's actual alphabetical-factorization
+    name map (None for synthetic/int labels)."""
     from mme_tpu.cli.common import resolve_pickle
     pkl = resolve_pickle(cfg.dataset)
     if pkl is not None:
@@ -36,6 +38,8 @@ def _load_datasets(cfg, vocab_size, tokenizer=None):
                                    text_max_len=cfg.text_max_len,
                                    seed=cfg.seed)
         rcfg.label_map = build_label_map(df, rcfg.label_col)
+        from mme_tpu.cli.common import invert_label_map
+        id2label = invert_label_map(rcfg.label_map)
         # hash tokenizer must match the model's (possibly reduced) vocab
         tok = tokenizer or get_tokenizer(
             None if vocab_size != 50265 else
@@ -44,13 +48,13 @@ def _load_datasets(cfg, vocab_size, tokenizer=None):
         tr, va, te = split_dataframe(df, rcfg)
         return (build_text_dataset(tr, rcfg, tok),
                 build_text_dataset(va, rcfg, tok),
-                build_text_dataset(te, rcfg, tok))
+                build_text_dataset(te, rcfg, tok), id2label)
     n_train = 256
     mk = lambda n, s: synthetic_text_dataset(
         vocab_size, n, text_len=cfg.text_max_len,
         num_classes=cfg.output_dim, seed=s)
     return mk(n_train, 0), mk(max(n_train // 8, 32), 1), \
-        mk(max(n_train // 8, 32), 2)
+        mk(max(n_train // 8, 32), 2), None
 
 
 def main(argv=None):
@@ -103,8 +107,8 @@ def main(argv=None):
                                batch["text_mask"],
                                deterministic=deterministic, rngs=rngs)
 
-    train_ds, val_ds, test_ds = _load_datasets(cfg, spec_vocab,
-                                               tokenizer=glove_tokenizer)
+    train_ds, val_ds, test_ds, id2label = _load_datasets(
+        cfg, spec_vocab, tokenizer=glove_tokenizer)
 
     example = {k: jnp.asarray(v[:1]) for k, v in train_ds.features.items()}
     if cfg.model.lower() == "lstm":
@@ -128,7 +132,8 @@ def main(argv=None):
                 print("loaded pretrained text tower from "
                       f"{root} (j-hartmann/emotion-english-distilroberta-"
                       "base)", flush=True)
-    return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds)
+    return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
+                          id2label=id2label)
 
 
 if __name__ == "__main__":

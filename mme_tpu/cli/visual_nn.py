@@ -63,11 +63,14 @@ def main(argv=None):
         df = pd.read_pickle(pkl)
         rcfg = PickleDatasetConfig(label_col=cfg.label_task, seed=cfg.seed)
         rcfg.label_map = build_label_map(df, rcfg.label_col)
+        from mme_tpu.cli.common import invert_label_map
+        id2label = invert_label_map(rcfg.label_map)
         kf = os.environ.get("MME_KEYFRAME_GLOB")
         train_ds, val_ds, test_ds = (
             build_video_dataset(x, rcfg, frames, size, keyframe_glob=kf)
             for x in split_dataframe(df, rcfg))
     else:
+        id2label = None
         mk = lambda n, s: _synthetic_video(n, frames, size, cfg.output_dim, s)
         train_ds, val_ds, test_ds = mk(64, 0), mk(16, 1), mk(16, 2)
 
@@ -87,7 +90,7 @@ def main(argv=None):
         params = model.init(jax.random.PRNGKey(cfg.seed), example)["params"]
         batch_stats = None
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
-                          batch_stats=batch_stats)
+                          batch_stats=batch_stats, id2label=id2label)
 
 
 if __name__ == "__main__":

@@ -195,8 +195,11 @@ def _stratified_take(df, label_col, seed, frac):
     take = []
     for c in np.unique(labels):
         ci = idx[labels == c]
+        if len(ci) < 2:
+            continue  # a class's only row stays in the remainder (train)
         rng.shuffle(ci)
-        k = max(1, int(round(len(ci) * frac)))
+        # never drain a class: the carve takes at most len-1 rows
+        k = min(max(1, int(round(len(ci) * frac))), len(ci) - 1)
         take.extend(ci[:k])
     take = np.sort(np.asarray(take, dtype=int))
     mask = np.ones(len(df), bool)
@@ -236,6 +239,15 @@ def split_dataframe(df, cfg: PickleDatasetConfig):
                       "12.5% test set out of the official train split "
                       "(official val untouched)", flush=True)
             return train, val, test
+        if len(val) > 0 or len(test) > 0:
+            # official held-out rows exist but there is NOTHING to train
+            # on — re-splitting here would silently fold val/test rows
+            # into training (protocol violation). Refuse loudly instead.
+            raise ValueError(
+                f"split column {cfg.split_col!r} has no train rows but "
+                f"{len(val)} val / {len(test)} test rows — refusing to "
+                "re-split official held-out data into training; fix the "
+                "pickle's split column or drop it for a stratified split")
         print("split column present but no usable train/eval partitions — "
               "using the stratified 75/12.5/12.5 split instead", flush=True)
     rng = np.random.RandomState(cfg.seed)

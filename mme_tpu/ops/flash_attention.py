@@ -80,8 +80,23 @@ def _block_sizes(seq_q: int, seq_k: int, bwd: bool = False):
     bq = min(read("MME_FLASH_BQ", DEFAULT_BLOCK_Q), seq_q)
     if bwd:
         bk = min(read("MME_FLASH_BK_BWD", DEFAULT_BLOCK_K_BWD), seq_k)
+        name = "MME_FLASH_BK_BWD"
+        default = DEFAULT_BLOCK_K_BWD
     else:
         bk = min(read("MME_FLASH_BK", DEFAULT_BLOCK_K), seq_k)
+        name = "MME_FLASH_BK"
+        default = DEFAULT_BLOCK_K
+    if bk < seq_k and bk % 128 != 0:
+        # lane rule: the [B,1,bk] bias block carries bk on lanes — a
+        # partial-seq k-tile must be a multiple of 128 or Mosaic rejects
+        # the kernel at compile time. Honor the "invalid values fall
+        # back" contract instead of crashing every attention call.
+        import warnings
+        good = min(default, seq_k)
+        warnings.warn(f"{name}={bk} violates the lane rule (multiple of "
+                      f"128 or the full sequence {seq_k}) — using {good}",
+                      stacklevel=2)
+        bk = good
     return bq, bk
 
 

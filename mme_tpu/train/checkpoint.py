@@ -35,6 +35,16 @@ def _process_count() -> int:
         return 1
 
 
+def _safe_hostname() -> str:
+    """Filesystem-safe hostname embedded in save-dir names so the orphan
+    GC can tell OUR dead pids from another machine's live ones on a
+    shared (NFS/GCS-fuse) checkpoint directory. '-' is the host/pid
+    separator, so it is stripped from the name itself."""
+    import re
+    import socket
+    return re.sub(r"[^A-Za-z0-9]", "", socket.gethostname()) or "host"
+
+
 class CheckpointManager:
     def __init__(self, directory: str, use_async: Optional[bool] = None):
         self.directory = os.path.abspath(directory)
@@ -51,8 +61,13 @@ class CheckpointManager:
             self._ckpt = ocp.StandardCheckpointer()
         self._gc_orphans()
 
+    # foreign-host / legacy dirs must be this stale (newest mtime under
+    # the tree) before GC will touch them — an in-flight multi-GB orbax
+    # write keeps bumping mtimes, a dead one stops
+    _GC_STALE_S = 3600.0
+
     def _gc_orphans(self) -> None:
-        """Remove ``best_<n>_<pid>`` data dirs not referenced by
+        """Remove ``best_<n>_<host>-<pid>`` data dirs not referenced by
         best_meta.json whose owning process is DEAD. A process killed
         between ``save_best`` and the next :meth:`wait` (exactly the
         preemption window async saves target) leaves its fresh dir
@@ -61,13 +76,17 @@ class CheckpointManager:
         a parallel worker) and are left alone; the referenced dir (the
         durable best) is never touched.
 
-        Multi-host guard: the ``os.kill(pid, 0)`` liveness probe is
-        HOST-LOCAL. On a shared checkpoint directory (NFS/GCS-fuse under
-        ``jax.distributed``), another host's in-flight save would look
-        dead here and get deleted mid-write — so GC only runs in
-        single-process mode (orphans from multi-host runs are left for a
-        later single-process manager to collect)."""
+        Multi-machine guard: the ``os.kill(pid, 0)`` liveness probe is
+        HOST-LOCAL, and shared checkpoint dirs (NFS/GCS-fuse) can carry
+        in-flight saves from OTHER machines — two independent
+        single-process trainers need no ``jax.distributed`` for that, so
+        the process_count()==1 check alone is not enough. The pid probe
+        therefore only decides dirs whose embedded hostname is OURS;
+        foreign-host and legacy ``best_<n>_<pid>`` dirs are collected
+        only once nothing under them has been written for
+        ``_GC_STALE_S`` seconds."""
         import shutil
+        import time
         if _process_count() > 1:
             return
         keep = os.path.basename(self.best_path)
@@ -75,23 +94,40 @@ class CheckpointManager:
             entries = os.listdir(self.directory)
         except OSError:
             return
+        now = time.time()
         for name in entries:
             if not name.startswith("best_") or name == keep:
                 continue
+            token = name.rsplit("_", 1)[-1]
+            host, _, pid_s = token.rpartition("-")
             try:
-                pid = int(name.rsplit("_", 1)[1])
-            except (IndexError, ValueError):
+                pid = int(pid_s)
+            except ValueError:
                 continue
-            try:
-                os.kill(pid, 0)   # 0 = existence probe, no signal sent
-                continue          # owner alive → in-flight, keep
-            except ProcessLookupError:
-                pass              # owner dead → orphan
-            except OSError:
-                continue          # e.g. EPERM: someone's pid — keep
             path = os.path.join(self.directory, name)
-            if os.path.isdir(path):
-                shutil.rmtree(path, ignore_errors=True)
+            if not os.path.isdir(path):
+                continue
+            if host == _safe_hostname():
+                # ours: the pid probe is authoritative
+                try:
+                    os.kill(pid, 0)  # 0 = existence probe, no signal sent
+                    continue         # owner alive → in-flight, keep
+                except ProcessLookupError:
+                    pass             # owner dead → orphan
+                except OSError:
+                    continue         # e.g. EPERM: someone's pid — keep
+            else:
+                # foreign machine or legacy name: only age can prove death
+                try:
+                    newest = max(
+                        (os.path.getmtime(os.path.join(r, f))
+                         for r, _, fs in os.walk(path) for f in fs),
+                        default=os.path.getmtime(path))
+                except OSError:
+                    continue
+                if now - newest < self._GC_STALE_S:
+                    continue
+            shutil.rmtree(path, ignore_errors=True)
 
     @property
     def best_path(self) -> str:
@@ -136,7 +172,7 @@ class CheckpointManager:
         a SIGKILL mid-write leaves the previous best fully intact."""
         self.wait()  # previous write lands + its meta publishes first
         self._counter += 1
-        name = f"best_{self._counter}_{os.getpid()}"
+        name = f"best_{self._counter}_{_safe_hostname()}-{os.getpid()}"
         self._ckpt.save(os.path.join(self.directory, name), state,
                         force=True)
         self._pending_meta = dict(meta, _data=name)

@@ -59,10 +59,14 @@ def _batch_iter(ds: ArrayDataset, order: np.ndarray, batch_size: int,
         src = batch_iter(ds, order, batch_size)
         if mesh is not None:
             # bucketed batches are tail-padded to the static batch size
-            # (data/dataset.py::batches) so they dp-shard directly
+            # (data/dataset.py::batches) so they dp-shard directly. The
+            # prefetch wrapper below still applies: its producer thread
+            # drives shard_batches' sharded device_put one batch ahead
+            # (device_put on an already-committed sharded array is a
+            # no-op), keeping the host→device copy off the step's
+            # critical path exactly like the single-device bucketed path.
             from mme_tpu.parallel.data import shard_batches
             src = shard_batches(src, mesh)
-            prefetch = False  # already device-resident + sharded
     elif mesh is None:
         # feature arrays prefetched to device from a producer thread
         # (data/prefetch.py) so the host→device copy overlaps compute;

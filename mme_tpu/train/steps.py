@@ -68,14 +68,22 @@ def magnitude_histogram(tree: Any) -> jax.Array:
     histograms to wandb every step (``wandb.watch(log="all")``,
     ``tav_nn.py:103-104``); a fixed-bucket exponent histogram carries the
     same debugging signal (dead/underflowing/exploding tensors) in 17
-    ints per module instead of histogram-sized transfers."""
+    ints per module instead of histogram-sized transfers.
+
+    Non-finite elements (NaN, ±Inf) count in the TOP bucket (16): naive
+    floor/floor-divide arithmetic turns them into NaN → int 0 → the
+    tiniest-magnitude bucket, which would report an exploding tensor as
+    "many underflowing elements" — the opposite of the divergence signal
+    this histogram exists to surface."""
     parts = [jnp.ravel(l).astype(jnp.float32)
              for l in jax.tree.leaves(tree)]
     x = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    finite = jnp.isfinite(x)
     nz = x != 0
-    e = jnp.floor(jnp.log2(jnp.where(nz, jnp.abs(x), 1.0)))
+    e = jnp.floor(jnp.log2(jnp.where(nz & finite, jnp.abs(x), 1.0)))
     idx = jnp.where(nz, 1 + jnp.clip((e + 40) // 3, 0, 15).astype(jnp.int32),
                     0)
+    idx = jnp.where(finite, idx, HIST_BUCKETS - 1)
     return jnp.zeros((HIST_BUCKETS,), jnp.int32).at[idx].add(1)
 
 

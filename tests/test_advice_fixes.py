@@ -15,6 +15,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pandas as pd
@@ -109,19 +110,33 @@ def test_checkpoint_gc_collects_dead_pid_orphans(tmp_path):
     mgr.wait()
     referenced = os.path.basename(mgr.best_path)
 
+    from mme_tpu.train.checkpoint import _safe_hostname
+    host = _safe_hostname()
     # a dir from a DEAD process (spawn-and-exit gives a real dead pid)
     dead_pid = subprocess.run([sys.executable, "-c",
                                "import os; print(os.getpid())"],
                               capture_output=True, text=True).stdout.strip()
-    orphan = os.path.join(d, f"best_7_{dead_pid}")
+    orphan = os.path.join(d, f"best_7_{host}-{dead_pid}")
     os.makedirs(orphan)
     # a dir from a LIVE process (this one) — an in-flight save elsewhere
-    inflight = os.path.join(d, f"best_8_{os.getpid()}")
+    inflight = os.path.join(d, f"best_8_{host}-{os.getpid()}")
     os.makedirs(inflight)
+    # ANOTHER machine's fresh in-flight save on a shared (NFS) dir: its
+    # pid means nothing here — must be kept even though it looks dead
+    foreign_fresh = os.path.join(d, f"best_9_othermachine-{dead_pid}")
+    os.makedirs(foreign_fresh)
+    # a foreign/legacy dir nothing has written to in > _GC_STALE_S: dead
+    foreign_stale = os.path.join(d, f"best_10_othermachine-{dead_pid}")
+    os.makedirs(foreign_stale)
+    old = time.time() - 2 * CheckpointManager._GC_STALE_S
+    os.utime(foreign_stale, (old, old))
 
     CheckpointManager(d, use_async=False)   # init runs the GC
     assert not os.path.exists(orphan), "dead-pid orphan should be GC'd"
     assert os.path.exists(inflight), "live-pid dir must be kept"
+    assert os.path.exists(foreign_fresh), \
+        "another machine's fresh in-flight save must be kept"
+    assert not os.path.exists(foreign_stale), "stale foreign dir is GC'd"
     assert os.path.exists(os.path.join(d, referenced))
     # the durable best still restores
     restored, meta = mgr.restore_best({"w": np.ones((2,), np.float32)})
@@ -139,8 +154,28 @@ def test_checkpoint_gc_keeps_pending_same_process(tmp_path):
     mgr = CheckpointManager(d, use_async=False)
     mgr.save_best(state, {"epoch": 1})
     mgr.wait()
-    mgr._pending_meta = {"epoch": 2, "_data": "best_2_%d" % os.getpid()}
+    from mme_tpu.train.checkpoint import _safe_hostname
+    mgr._pending_meta = {"epoch": 2, "_data": "best_2_%s-%d"
+                         % (_safe_hostname(), os.getpid())}
     os.makedirs(os.path.join(d, mgr._pending_meta["_data"]), exist_ok=True)
 
     CheckpointManager(d, use_async=False)
     assert os.path.exists(os.path.join(d, mgr._pending_meta["_data"]))
+
+
+# ---- 5. metrics display names follow the ACTUAL label factorization ---------
+
+def test_invert_label_map_matches_factorization():
+    """build_label_map factorizes alphabetically — per-class metric names
+    must come from ITS inverse, not the hardcoded display lists (which
+    would silently permute per-class F1)."""
+    from mme_tpu.cli.common import invert_label_map
+    from mme_tpu.data.records import build_label_map, labels_to_ids
+
+    df = pd.DataFrame({"label": ["neutral", "joy", "anger", "joy"]})
+    m = build_label_map(df, "label")
+    inv = invert_label_map(m)
+    ids, _ = labels_to_ids(df["label"].values, m)
+    assert [inv[i] for i in ids] == list(df["label"])
+    assert inv == {0: "anger", 1: "joy", 2: "neutral"}
+    assert invert_label_map(None) is None

@@ -175,3 +175,23 @@ def test_dispatch_threshold_covers_fusion_trunk(monkeypatch):
     assert att._decide_flash(299, 64, None)
     monkeypatch.setenv("MME_FLASH", "0")
     assert not att._decide_flash(1464, 64, None)
+
+
+def test_block_sizes_reject_lane_rule_violations(monkeypatch):
+    """A well-formed but lane-rule-violating MME_FLASH_BK_BWD (not a
+    multiple of 128, less than the sequence) must fall back to the
+    default with a warning instead of crashing every backward compile."""
+    import warnings
+    from mme_tpu.ops.flash_attention import (DEFAULT_BLOCK_K_BWD,
+                                             _block_sizes)
+
+    monkeypatch.setenv("MME_FLASH_BK_BWD", "300")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bq, bk = _block_sizes(512, 2048, bwd=True)
+    assert bk == DEFAULT_BLOCK_K_BWD
+    assert any("lane rule" in str(x.message) for x in w)
+    # full-sequence values are legal even when not 128-aligned
+    monkeypatch.setenv("MME_FLASH_BK_BWD", "300")
+    _, bk = _block_sizes(512, 300, bwd=True)
+    assert bk == 300

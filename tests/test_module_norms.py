@@ -160,3 +160,17 @@ def test_loop_logs_histograms(tmp_path, monkeypatch):
     for v in hists.values():
         assert isinstance(v, list) and len(v) == HIST_BUCKETS
         assert all(isinstance(c, int) for c in v)
+
+def test_magnitude_histogram_nonfinite_top_bucket():
+    """NaN/±Inf must count in the TOP bucket — naive floor arithmetic
+    turned them into bucket 1 ("tiny"), reporting an exploding tensor as
+    underflow (round-3 review finding)."""
+    from mme_tpu.train.steps import HIST_BUCKETS, magnitude_histogram
+
+    tree = {"a": jnp.asarray([np.nan, np.inf, -np.inf, 0.0, 1.0],
+                             jnp.float32)}
+    h = np.asarray(magnitude_histogram(tree))
+    assert h.sum() == 5
+    assert h[HIST_BUCKETS - 1] == 3        # all three non-finite
+    assert h[1] == 0                       # none misfiled as "tiny"
+    assert h[0] == 1 and h[14] == 1

@@ -150,3 +150,28 @@ def test_bucketed_batches():
         assert (lengths[real] <= bound).all()
         seen.update(real.tolist())
     assert seen == set(range(n))  # full coverage, no duplicates lost
+
+
+def test_split_refuses_heldout_only_frame(frame):
+    """train partition empty but official val/test rows exist → raising
+    beats silently re-splitting held-out rows into training."""
+    cfg = PickleDatasetConfig()
+    df = frame[frame["split"] != "train"]
+    with pytest.raises(ValueError, match="no train rows"):
+        split_dataframe(df, cfg)
+
+
+def test_carve_never_drains_a_class(frame):
+    """A class with a single training row must stay in train when val is
+    carved from it (the 12.5% carve used to take max(1, ...) rows — the
+    class's ONLY sample)."""
+    cfg = PickleDatasetConfig(label_col="emotion_label")
+    # official train + test, no val → val carved out of train; make
+    # "fear" a singleton in train
+    df = frame[frame["split"] != "val"].copy()
+    tr_mask = df["split"] == "train"
+    fear_train = df.index[tr_mask & (df["emotion_label"] == "fear")]
+    df = df.drop(fear_train[1:])
+    tr, va, te = split_dataframe(df, cfg)
+    assert (tr["emotion_label"] == "fear").sum() == 1
+    assert (va["emotion_label"] == "fear").sum() == 0
