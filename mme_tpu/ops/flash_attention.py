@@ -78,6 +78,17 @@ def _block_sizes(seq_q: int, seq_k: int, bwd: bool = False):
         return v if v > 0 else default
 
     bq = min(read("MME_FLASH_BQ", DEFAULT_BLOCK_Q), seq_q)
+    if bq < seq_q and bq % 128 != 0:
+        # same lane rule as bk below: the [G, pack, bq] lse/delta blocks
+        # carry bq on lanes, so a partial-seq q-tile must be a multiple
+        # of 128 — an ill-shaped MME_FLASH_BQ from the environment falls
+        # back with a warning instead of crashing every attention compile.
+        import warnings
+        good = min(DEFAULT_BLOCK_Q, seq_q)
+        warnings.warn(f"MME_FLASH_BQ={bq} violates the lane rule (multiple"
+                      f" of 128 or the full sequence {seq_q}) — using "
+                      f"{good}", stacklevel=2)
+        bq = good
     if bwd:
         bk = min(read("MME_FLASH_BK_BWD", DEFAULT_BLOCK_K_BWD), seq_k)
         name = "MME_FLASH_BK_BWD"

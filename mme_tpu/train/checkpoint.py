@@ -39,10 +39,17 @@ def _safe_hostname() -> str:
     """Filesystem-safe hostname embedded in save-dir names so the orphan
     GC can tell OUR dead pids from another machine's live ones on a
     shared (NFS/GCS-fuse) checkpoint directory. '-' is the host/pid
-    separator, so it is stripped from the name itself."""
+    separator, so it is stripped from the name itself. Because stripping
+    can collide distinct raw names ('tpu-vm1' and 'tpuvm-1' both sanitize
+    to 'tpuvm1' — which would make the host-local pid probe falsely
+    authoritative for a foreign machine's dir), a short hash of the RAW
+    hostname is appended to keep sanitized names unique per host."""
+    import hashlib
     import re
     import socket
-    return re.sub(r"[^A-Za-z0-9]", "", socket.gethostname()) or "host"
+    raw = socket.gethostname()
+    safe = re.sub(r"[^A-Za-z0-9]", "", raw) or "host"
+    return safe + hashlib.sha1(raw.encode()).hexdigest()[:8]
 
 
 class CheckpointManager:
@@ -63,8 +70,13 @@ class CheckpointManager:
 
     # foreign-host / legacy dirs must be this stale (newest mtime under
     # the tree) before GC will touch them — an in-flight multi-GB orbax
-    # write keeps bumping mtimes, a dead one stops
-    _GC_STALE_S = 3600.0
+    # write keeps bumping mtimes, a dead one stops. 24 h (not the 1 h an
+    # in-flight write needs): a foreign OWNER's completed-but-unpublished
+    # best dir stops getting mtime bumps the moment orbax finishes, and
+    # its best_meta.json only publishes at the owner's next
+    # wait()/save_best — a long validation gap must not let another
+    # machine GC the dir out from under that pending pointer.
+    _GC_STALE_S = 24 * 3600.0
 
     def _gc_orphans(self) -> None:
         """Remove ``best_<n>_<host>-<pid>`` data dirs not referenced by
@@ -117,15 +129,23 @@ class CheckpointManager:
                 except OSError:
                     continue         # e.g. EPERM: someone's pid — keep
             else:
-                # foreign machine or legacy name: only age can prove death
+                # foreign machine or legacy name: only age can prove
+                # death. Short-circuit the walk at the FIRST fresh file —
+                # stat'ing every file of a multi-GB orbax tree on
+                # GCS-fuse/NFS is a metadata storm in the startup path,
+                # and one fresh mtime already decides "keep".
                 try:
-                    newest = max(
-                        (os.path.getmtime(os.path.join(r, f))
-                         for r, _, fs in os.walk(path) for f in fs),
-                        default=os.path.getmtime(path))
+                    cutoff = now - self._GC_STALE_S
+                    fresh = os.path.getmtime(path) >= cutoff
+                    if not fresh:
+                        for r, _, fs in os.walk(path):
+                            if any(os.path.getmtime(os.path.join(r, f))
+                                   >= cutoff for f in fs):
+                                fresh = True
+                                break
                 except OSError:
                     continue
-                if now - newest < self._GC_STALE_S:
+                if fresh:
                     continue
             shutil.rmtree(path, ignore_errors=True)
 

@@ -163,6 +163,39 @@ def test_checkpoint_gc_keeps_pending_same_process(tmp_path):
     assert os.path.exists(os.path.join(d, mgr._pending_meta["_data"]))
 
 
+# ---- round 4: hostname collisions + flash BQ env validation ----------------
+
+def test_safe_hostname_distinguishes_punctuation_variants(monkeypatch):
+    """'tpu-vm1' and 'tpuvm-1' sanitize to the same alnum string; the
+    appended raw-name hash must keep them distinct (otherwise the
+    host-local pid probe becomes falsely authoritative for a foreign
+    machine's checkpoint dir)."""
+    import socket
+    from mme_tpu.train import checkpoint as ck
+
+    monkeypatch.setattr(socket, "gethostname", lambda: "tpu-vm1")
+    a = ck._safe_hostname()
+    monkeypatch.setattr(socket, "gethostname", lambda: "tpuvm-1")
+    b = ck._safe_hostname()
+    assert a != b
+    assert "-" not in a and "-" not in b   # '-' stays the host/pid separator
+
+
+def test_flash_bq_env_falls_back_with_warning(monkeypatch):
+    """An ill-shaped MME_FLASH_BQ (not a multiple of 128, below the seq)
+    must warn and fall back — same contract as MME_FLASH_BK."""
+    from mme_tpu.ops.flash_attention import DEFAULT_BLOCK_Q, _block_sizes
+
+    monkeypatch.setenv("MME_FLASH_BQ", "300")
+    with pytest.warns(UserWarning, match="MME_FLASH_BQ"):
+        bq, _ = _block_sizes(4096, 4096)
+    assert bq == DEFAULT_BLOCK_Q
+    # full-seq bq (clamped by min) is legal and silent
+    monkeypatch.setenv("MME_FLASH_BQ", "300")
+    bq, _ = _block_sizes(300, 300)
+    assert bq == 300
+
+
 # ---- 5. metrics display names follow the ACTUAL label factorization ---------
 
 def test_invert_label_map_matches_factorization():
