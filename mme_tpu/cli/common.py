@@ -234,4 +234,23 @@ def run_classifier(cfg: ExperimentConfig,
                     test_ds, id2label, batch_transform=batch_transform):
                 fh.write(json.dumps(row) + "\n")
         print(f"wrote serving predictions: {predict_out}", flush=True)
+    export_dir = os.environ.get("MME_EXPORT_BUNDLE")
+    if export_dir:
+        # standalone StableHLO serving bundle (mme_tpu.serve.load_bundle
+        # re-serves it with no model code) — the deployment artifact the
+        # reference's notebook-only eval path never had
+        from mme_tpu.serve import export_bundle
+        example = {k: np.asarray(v[:cfg.batch_size])
+                   for k, v in test_ds.features.items()}
+        if batch_transform is not None:
+            # bundle serves post-transform features (e.g. video already
+            # normalized) — apply the same transform the Predictor path
+            # runs per chunk so the exported spec matches
+            example = {k: np.asarray(v) for k, v in batch_transform(
+                jax.random.PRNGKey(0),
+                {k: jnp.asarray(v) for k, v in example.items()}).items()}
+        export_bundle(apply_fn, state.params, example, export_dir,
+                      batch_size=cfg.batch_size,
+                      batch_stats=state.batch_stats, id2label=id2label)
+        print(f"wrote serving bundle: {export_dir}", flush=True)
     return summary

@@ -19,11 +19,37 @@ Use: ``p = Predictor(apply_fn, params, batch_size=8); p(batch_dict)``.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
+    if arr.shape[0] == n:
+        return arr
+    pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+def _batched_call(forward: Callable, variables: Any,
+                  batch: Dict[str, Any], batch_size: int
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad ragged requests up to ``batch_size`` fixed-shape chunks, run
+    ``forward(variables, chunk)`` and mask the padding back out."""
+    n = len(next(iter(batch.values())))
+    preds, probs = [], []
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        chunk = {k: _pad_rows(np.asarray(v[lo:hi]), batch_size)
+                 for k, v in batch.items()}
+        p, pr = forward(variables, chunk)
+        preds.append(np.asarray(p)[: hi - lo])
+        probs.append(np.asarray(pr)[: hi - lo])
+    return np.concatenate(preds), np.concatenate(probs)
 
 
 class Predictor:
@@ -64,25 +90,14 @@ class Predictor:
         self._forward = jax.jit(forward)
 
     def _pad(self, arr: np.ndarray, n: int) -> np.ndarray:
-        if arr.shape[0] == n:
-            return arr
-        pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
-        return np.pad(arr, pad)
+        return _pad_rows(arr, n)
 
     def __call__(self, batch: Dict[str, Any]
                  ) -> Tuple[np.ndarray, np.ndarray]:
         """batch: dict of arrays with a common leading dim ≤ batch_size
         (larger inputs are chunked). Returns (preds [N], probs [N, C])."""
-        n = len(next(iter(batch.values())))
-        preds, probs = [], []
-        for lo in range(0, n, self.batch_size):
-            hi = min(lo + self.batch_size, n)
-            chunk = {k: self._pad(np.asarray(v[lo:hi]), self.batch_size)
-                     for k, v in batch.items()}
-            p, pr = self._forward(self._variables, chunk)
-            preds.append(np.asarray(p)[: hi - lo])
-            probs.append(np.asarray(pr)[: hi - lo])
-        return np.concatenate(preds), np.concatenate(probs)
+        return _batched_call(self._forward, self._variables, batch,
+                             self.batch_size)
 
     def predict_dataset(self, dataset, id2label: Optional[Dict[int, str]]
                         = None, batch_transform: Optional[Callable] = None,
@@ -112,3 +127,156 @@ class Predictor:
                     row["label"] = id2label.get(int(preds[i]),
                                                 str(preds[i]))
                 yield row
+
+
+# ---------------------------------------------------------------------------
+# Model-code-free serving bundles (jax.export / StableHLO)
+# ---------------------------------------------------------------------------
+# The reference's only deployment story is re-running its eval notebooks
+# against a checkpoint loaded into the full training codebase
+# (EvaluationScripts/*_eval.ipynb). A bundle decouples serving from the
+# framework: the deterministic forward is serialized as a versioned
+# StableHLO artifact (jax.export) next to the raw weights, and
+# load_bundle() rebuilds a Predictor-shaped callable from the two files
+# alone — no model classes, config system, or checkpoint manager on the
+# serving host, and the artifact is compiled by whatever XLA backs that
+# host (TPU or CPU; export with platforms=("tpu", "cpu") for both).
+
+_BUNDLE_FORWARD = "forward.jaxexp"
+_BUNDLE_PARAMS = "params.npz"
+_BUNDLE_META = "meta.json"
+
+
+def _plain_mappings(tree: Any) -> Any:
+    """Variables trees are nested string-keyed mappings (dict/FrozenDict)
+    with array leaves; normalize every container to a plain dict so the
+    exported in_tree is reconstructible without flax on the serving host."""
+    if hasattr(tree, "items"):
+        return {str(k): _plain_mappings(v) for k, v in tree.items()}
+    return tree
+
+
+def _flatten_mapping(tree: Any, prefix: str = ""):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _flatten_mapping(tree[k], f"{prefix}/{k}" if prefix
+                                        else k)
+    else:
+        yield prefix, np.asarray(tree)
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # bfloat16 & friends aren't name-registered
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def export_bundle(apply_fn: Callable, params: Any,
+                  example_batch: Dict[str, Any], path: str, *,
+                  batch_size: int = 8, batch_stats: Any = None,
+                  id2label: Optional[Dict[int, str]] = None,
+                  platforms: Optional[Tuple[str, ...]] = None) -> None:
+    """Write a standalone serving bundle directory.
+
+    ``example_batch`` fixes the feature spec (shapes beyond the leading
+    dim, dtypes); serving requests are padded/chunked to ``batch_size``
+    exactly like :class:`Predictor`. ``platforms``: lowering targets
+    (default: the current backend), e.g. ``("tpu", "cpu")``.
+    """
+    from jax import export as jexport
+
+    batch_size = int(batch_size)
+    variables = _plain_mappings(
+        {"params": params} if batch_stats is None
+        else {"params": params, "batch_stats": batch_stats})
+
+    def forward(variables, batch):
+        logits = apply_fn(variables, batch, deterministic=True, rngs=None)
+        if isinstance(logits, tuple):
+            logits = logits[0]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.argmax(logits, axis=-1), probs
+
+    feats = {k: _pad_rows(np.asarray(v)[:batch_size], batch_size)
+             for k, v in example_batch.items()}
+    var_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        variables)
+    batch_spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                  for k, v in feats.items()}
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    # the flash-attention Pallas kernel lowers to a TPU custom call, which
+    # jax.export flags as non-portable by default; serving artifacts are
+    # rebuilt per release, so pin-to-libtpu compatibility is acceptable
+    exp = jexport.export(
+        jax.jit(forward),
+        disabled_checks=[jexport.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call")],
+        **kwargs)(var_spec, batch_spec)
+
+    manifest, arrays = [], {}
+    for i, (key, arr) in enumerate(_flatten_mapping(variables)):
+        arrays[f"leaf_{i}"] = np.frombuffer(arr.tobytes(), np.uint8)
+        manifest.append({"key": key, "shape": list(arr.shape),
+                         "dtype": arr.dtype.name})
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _BUNDLE_FORWARD), "wb") as fh:
+        fh.write(exp.serialize())
+    np.savez(os.path.join(path, _BUNDLE_PARAMS), **arrays)
+    meta = {
+        "batch_size": batch_size,
+        "platforms": list(exp.platforms),
+        "id2label": ({str(k): v for k, v in id2label.items()}
+                     if id2label else None),
+        "features": {k: {"shape": list(v.shape), "dtype": v.dtype.name}
+                     for k, v in feats.items()},
+        "leaves": manifest,
+    }
+    with open(os.path.join(path, _BUNDLE_META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+
+
+def load_bundle(path: str) -> "ExportedPredictor":
+    """Rebuild a serving callable from an :func:`export_bundle` directory."""
+    return ExportedPredictor(path)
+
+
+class ExportedPredictor:
+    """Predictor-shaped callable over a serialized bundle: same pad/chunk
+    request handling, but the forward comes from the StableHLO artifact —
+    no model code involved."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, _BUNDLE_META)) as fh:
+            meta = json.load(fh)
+        self.batch_size = int(meta["batch_size"])
+        self.platforms = tuple(meta["platforms"])
+        self.features = meta["features"]
+        self.id2label = ({int(k): v for k, v in meta["id2label"].items()}
+                         if meta.get("id2label") else None)
+        with open(os.path.join(path, _BUNDLE_FORWARD), "rb") as fh:
+            exp = jexport.deserialize(fh.read())
+        npz = np.load(os.path.join(path, _BUNDLE_PARAMS))
+        variables: Dict[str, Any] = {}
+        for i, leaf in enumerate(meta["leaves"]):
+            arr = np.frombuffer(
+                npz[f"leaf_{i}"].tobytes(),
+                _np_dtype(leaf["dtype"])).reshape(leaf["shape"])
+            node = variables
+            *parents, last = leaf["key"].split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[last] = arr
+        self._variables = jax.device_put(variables)
+        self._forward = jax.jit(exp.call)
+
+    def __call__(self, batch: Dict[str, Any]
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        return _batched_call(self._forward, self._variables, batch,
+                             self.batch_size)
