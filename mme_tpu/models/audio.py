@@ -29,6 +29,7 @@ from mme_tpu.models.layers import EncoderSpec, TransformerEncoder, activation
 from mme_tpu.ops.attention import additive_mask
 from mme_tpu.ops.audio import (apply_spec_augment, feature_vector_attention_mask,
                                masked_mean_pool)
+from mme_tpu.ops.layer_norm import FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,7 +96,7 @@ class ConvFeatureExtractor(nn.Module):
                 x = nn.GroupNorm(num_groups=dim, epsilon=1e-5, dtype=e.dtype,
                                  param_dtype=e.param_dtype, name="group_norm")(x)
             elif s.feat_extract_norm == "layer":
-                x = nn.LayerNorm(epsilon=1e-5, dtype=e.dtype,
+                x = FusedLayerNorm(epsilon=1e-5, dtype=e.dtype,
                                  param_dtype=e.param_dtype, name=f"ln_{i}")(x)
             x = activation("gelu")(x)
             in_dim = dim
@@ -110,7 +111,7 @@ class FeatureProjection(nn.Module):
                  ) -> Tuple[jax.Array, jax.Array]:
         s = self.spec
         e = s.encoder
-        norm = nn.LayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
+        norm = FusedLayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
                             param_dtype=e.param_dtype, name="ln")(features)
         hidden = nn.Dense(e.hidden, dtype=e.dtype, param_dtype=e.param_dtype,
                           name="projection")(norm)
@@ -160,7 +161,7 @@ class Wav2Vec2Encoder(nn.Module):
             hidden = hidden * attention_mask[..., None].astype(hidden.dtype)
         hidden = hidden + PositionalConvEmbedding(s, name="pos_conv")(hidden)
         if not s.do_stable_layer_norm:
-            hidden = nn.LayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
+            hidden = FusedLayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
                                   param_dtype=e.param_dtype,
                                   name="ln")(hidden)
         if e.dropout > 0.0:

@@ -47,6 +47,7 @@ from mme_tpu.ops.attention import additive_mask
 from mme_tpu.ops.audio import (apply_spec_augment,
                                feature_vector_attention_mask,
                                masked_mean_pool)
+from mme_tpu.ops.layer_norm import FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,7 +150,7 @@ class PreFormer(nn.Module):
         self.feature_extractor = fe_cls(s.audio)
         self.feature_projection = FeatureProjection(s.audio)
         self.pos_conv = PositionalConvEmbedding(s.audio)
-        self.audio_ln = nn.LayerNorm(epsilon=s.audio.encoder.ln_eps,
+        self.audio_ln = FusedLayerNorm(epsilon=s.audio.encoder.ln_eps,
                                      dtype=s.audio.encoder.dtype,
                                      param_dtype=s.audio.encoder.param_dtype)
         self.wav_to_hidden = nn.Dense(s.hidden, dtype=s.audio.encoder.dtype,
@@ -230,10 +231,10 @@ class TAVForMAE(nn.Module):
                                       param_dtype=s.audio.encoder.param_dtype)
         self.videomae = VideoMAEModel(s.video)
         self.fusion_encoder = TransformerEncoder(s.fusion)
-        self.text_norm = nn.LayerNorm(dtype=s.fusion.dtype)
-        self.fusion_norm = nn.LayerNorm(dtype=s.fusion.dtype)
-        self.audio_norm = nn.LayerNorm(dtype=s.fusion.dtype)
-        self.video_norm = nn.LayerNorm(dtype=s.fusion.dtype)
+        self.text_norm = FusedLayerNorm(dtype=s.fusion.dtype)
+        self.fusion_norm = FusedLayerNorm(dtype=s.fusion.dtype)
+        self.audio_norm = FusedLayerNorm(dtype=s.fusion.dtype)
+        self.video_norm = FusedLayerNorm(dtype=s.fusion.dtype)
         self.dropout = nn.Dropout(rate=s.dropout)
         self.classifier = nn.Dense(s.output_dim, dtype=s.fusion.dtype,
                                    param_dtype=s.fusion.param_dtype)
@@ -329,7 +330,7 @@ class TAVFormer(nn.Module):
         self.preformer = PreFormer(s)
         self.modality_embedding = nn.Embed(3, s.hidden, dtype=fusion.dtype)
         self.encoder = TransformerEncoder(fusion)
-        self.norm = nn.LayerNorm(dtype=fusion.dtype)
+        self.norm = FusedLayerNorm(dtype=fusion.dtype)
         self.classifier = nn.Dense(s.output_dim, dtype=fusion.dtype)
 
     def __call__(self, batch: Dict[str, jax.Array],
@@ -358,7 +359,7 @@ class TAVForMAETwoTower(nn.Module):
         self.modality_embedding = nn.Embed(3, s.hidden, dtype=s.fusion.dtype)
         self.text_encoder = TextEncoder(s.text)
         self.fusion_encoder = TransformerEncoder(s.fusion)
-        self.fc_norm = nn.LayerNorm(dtype=s.fusion.dtype)
+        self.fc_norm = FusedLayerNorm(dtype=s.fusion.dtype)
         self.dropout = nn.Dropout(rate=s.dropout)
         self.classifier = nn.Dense(s.output_dim, dtype=s.fusion.dtype)
 
@@ -396,7 +397,7 @@ class TAVForW2V2(nn.Module):
         self.preformer = PreFormer(s)
         self.modality_embedding = nn.Embed(3, s.hidden, dtype=trunk.dtype)
         self.encoder = TransformerEncoder(trunk)
-        self.fc_norm = nn.LayerNorm(dtype=trunk.dtype)
+        self.fc_norm = FusedLayerNorm(dtype=trunk.dtype)
         self.dropout = nn.Dropout(rate=s.dropout)
         self.classifier = nn.Dense(s.output_dim, dtype=trunk.dtype)
 
@@ -433,7 +434,7 @@ class TAVMoEFormer(nn.Module):
         self.preformer = PreFormer(s)
         self.modality_embedding = nn.Embed(3, s.hidden, dtype=s.fusion.dtype)
         self.encoder = MoETransformerEncoder(s.fusion, moe)
-        self.norm = nn.LayerNorm(dtype=s.fusion.dtype)
+        self.norm = FusedLayerNorm(dtype=s.fusion.dtype)
         self.dropout = nn.Dropout(rate=s.dropout)
         self.classifier = nn.Dense(s.output_dim, dtype=s.fusion.dtype)
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mme_tpu.ops.attention import dot_product_attention_shd
+from mme_tpu.ops.layer_norm import FusedLayerNorm
 
 Dtype = Any
 
@@ -220,7 +221,7 @@ class EncoderBlock(nn.Module):
         # wrapper below can pin it via static_argnums — a traced bool would
         # break flax Dropout's short-circuit under jax.checkpoint.
         s = self.spec
-        ln = lambda name: nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
+        ln = lambda name: FusedLayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
                                        param_dtype=s.param_dtype, name=name)
         attn = MultiHeadAttention(s, name="attention")
         mlp = Mlp(s, name="mlp")
@@ -301,7 +302,7 @@ class TransformerEncoder(nn.Module):
             for i in range(s.layers):
                 x = block_cls(s, name=f"layer_{i}")(x, bias, deterministic)
         if s.final_ln:
-            x = nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
+            x = FusedLayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
                              param_dtype=s.param_dtype, name="final_ln")(x)
         return x
 

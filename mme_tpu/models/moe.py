@@ -37,6 +37,7 @@ from flax import linen as nn
 
 from mme_tpu.models.layers import (EncoderBlock, EncoderSpec,
                                    MultiHeadAttention, activation)
+from mme_tpu.ops.layer_norm import FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,7 +179,7 @@ class MoEEncoderBlock(nn.Module):
     def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
         s = self.spec
-        ln = lambda name: nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
+        ln = lambda name: FusedLayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
                                        param_dtype=s.param_dtype, name=name)
         attn = MultiHeadAttention(s, name="attention")
         mlp = MoEMlp(s, self.moe, name="moe_mlp")
@@ -211,7 +212,7 @@ class MoETransformerEncoder(nn.Module):
             else:
                 x = EncoderBlock(s, name=f"layer_{i}")(x, bias, deterministic)
         if s.final_ln:
-            x = nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
+            x = FusedLayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
                              param_dtype=s.param_dtype, name="final_ln")(x)
         return x
 

@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from mme_tpu.models.layers import EncoderSpec, TransformerEncoder
 from mme_tpu.ops.attention import additive_mask
+from mme_tpu.ops.layer_norm import FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,7 +89,7 @@ class TextEmbeddings(nn.Module):
                        param_dtype=e.param_dtype, name="token_type")(
                            token_type_ids)
         x = word + pos + typ
-        x = nn.LayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
+        x = FusedLayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
                          param_dtype=e.param_dtype, name="ln")(x)
         if e.dropout > 0.0:
             x = nn.Dropout(rate=e.dropout)(x, deterministic=deterministic)

@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from mme_tpu.models.text import TextEncoder, TextEncoderSpec
 from mme_tpu.models.video import VideoMAEModel, VideoMAESpec
+from mme_tpu.ops.layer_norm import FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,7 +110,7 @@ class BertVideoMAEMTLShared(nn.Module):
             input_ids, text_mask, shared, deterministic=deterministic)
         vid_hidden = SharedEmbedVideo(s.video, name="videomae")(
             video, shared, deterministic=deterministic)
-        vid_pooled = nn.LayerNorm(name="fc_norm")(vid_hidden.mean(axis=1))
+        vid_pooled = FusedLayerNorm(name="fc_norm")(vid_hidden.mean(axis=1))
         # lax.cond would skip the unused tower's FLOPs but both must run to
         # keep gradients defined under vmap/scan; a where-select matches the
         # trainer's per-step task routing while staying one program.
@@ -133,7 +134,7 @@ class BertVideoMAELateFusion(nn.Module):
             input_ids, text_mask, deterministic=deterministic)
         vid = VideoMAEModel(s.video, name="videomae")(
             video, deterministic=deterministic)
-        vid = nn.LayerNorm(name="fc_norm")(vid.mean(axis=1))
+        vid = FusedLayerNorm(name="fc_norm")(vid.mean(axis=1))
         x = jnp.concatenate([pooled, vid], axis=1)
         x = nn.Dropout(rate=s.dropout)(x, deterministic=deterministic)
         return nn.Dense(s.output_dim, name="classifier")(x)

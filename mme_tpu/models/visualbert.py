@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from mme_tpu.models.layers import EncoderSpec, TransformerEncoder, activation
 from mme_tpu.ops.attention import additive_mask
+from mme_tpu.ops.layer_norm import FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +68,7 @@ class VisualBertEmbeddings(nn.Module):
                 jnp.zeros((B, V), jnp.int32))
             x = jnp.concatenate([x, v], axis=1)
 
-        x = nn.LayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
+        x = FusedLayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
                          param_dtype=e.param_dtype, name="ln")(x)
         if e.dropout > 0.0:
             x = nn.Dropout(rate=e.dropout)(x, deterministic=deterministic)
@@ -123,7 +124,7 @@ class VisualBertForPreTraining(nn.Module):
         h = nn.Dense(e.hidden, dtype=e.dtype, param_dtype=e.param_dtype,
                      name="transform_dense")(seq)
         h = activation(e.act)(h)
-        h = nn.LayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
+        h = FusedLayerNorm(epsilon=e.ln_eps, dtype=e.dtype,
                          param_dtype=e.param_dtype, name="transform_ln")(h)
         word_table = model.variables["params"]["embeddings"]["word"][
             "embedding"]
