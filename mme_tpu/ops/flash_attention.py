@@ -395,6 +395,158 @@ def _flash_bwd(head_dim, pack, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning (multi-chip): a pallas_call is an opaque custom call to
+# GSPMD/Shardy, so under a pjit mesh the partitioner's last resort is to
+# gather the full operands onto every device before running the kernel —
+# exactly the round-3 README caveat. ``custom_partitioning`` teaches the
+# partitioner the kernel's actual rule: batch and heads are embarrassingly
+# parallel (shard freely over dp/mp axes), sequence and head_dim must be
+# replicated (flash needs every key for each query). Each shard then runs
+# the kernel on its local [B/dp, S, H/mp, D] block with zero collectives.
+# The per-shard pack factor adapts to the LOCAL head count, so a tp split
+# that leaves an odd number of heads per shard stays correct (pack=1).
+# Engaged when more than one device is visible (``MME_FLASH_SPMD``:
+# auto/1/0) — the single-chip bench path keeps the packed custom_vjp below
+# with zero change. Numerics are identical on both paths (same kernels).
+# ---------------------------------------------------------------------------
+
+
+def _flash_spmd_enabled() -> bool:
+    import os
+    mode = os.environ.get("MME_FLASH_SPMD", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.device_count() > 1
+
+
+def _fwd_unpacked(q, k, v, bias_k, interpret):
+    """[B, Sq, H, D] forward → (out [B, Sq, H, D], lse [B, H, Sq])."""
+    B, Sq, H, D = q.shape
+    pack = _pack_factor(H, D)
+    out, lse = _fwd_packed(_pack_heads(q, pack), _pack_heads(k, pack),
+                           _pack_heads(v, pack), bias_k, D, pack, interpret)
+    # lse [B·H/pack, pack, Sq]: group-major head order → plain reshape
+    return _unpack_heads(out, B, H, D, pack), lse.reshape(B, H, Sq)
+
+
+def _bwd_unpacked(q, k, v, bias_k, out, lse, do, interpret):
+    B, Sq, H, D = q.shape
+    pack = _pack_factor(H, D)
+    dq, dk, dv = _bwd_packed(
+        _pack_heads(q, pack), _pack_heads(k, pack), _pack_heads(v, pack),
+        bias_k, _pack_heads(out, pack),
+        lse.reshape(B * (H // pack), pack, Sq), _pack_heads(do, pack),
+        D, pack, interpret)
+    Sk = k.shape[1]
+    return (_unpack_heads(dq, B, H, D, pack),
+            _unpack_heads(dk, B, H, D, pack),
+            _unpack_heads(dv, B, H, D, pack))
+
+
+def _bh_spec(shardings):
+    """(batch, head) mesh axes from the q operand's PartitionSpec; all
+    other dims are forced replicated by the shardings we hand back."""
+    spec = shardings.spec
+    b = spec[0] if len(spec) > 0 else None
+    h = spec[2] if len(spec) > 2 else None
+    return b, h
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def fwd(q, k, v, bias_k):
+        return _fwd_unpacked(q, k, v, bias_k, interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h = _bh_spec(arg_shapes[0].sharding)
+        return (NamedSharding(mesh, P(b, None, h, None)),
+                NamedSharding(mesh, P(b, h, None)))
+
+    def part(mesh, arg_shapes, result_shape):
+        b, h = _bh_spec(arg_shapes[0].sharding)
+        qs = NamedSharding(mesh, P(b, None, h, None))
+        bs = NamedSharding(mesh, P(b, None))
+        ls = NamedSharding(mesh, P(b, h, None))
+
+        def lower(q, k, v, bias_k):
+            return _fwd_unpacked(q, k, v, bias_k, interpret)
+
+        return mesh, lower, (qs, ls), (qs, qs, qs, bs)
+
+    # Shardy rule (the default partitioner): b/h shard freely, sq/d/sk
+    # must be replicated (listed in factor-index order — Shardy requires
+    # the special-factor indices sorted). GSPMD (shardy off) uses the
+    # infer/partition callbacks instead.
+    fwd.def_partition(
+        partition=part, infer_sharding_from_operands=infer,
+        sharding_rule=("b sq h d, b sk h d, b sk h d, b sk "
+                       "-> b sq h d, b h sq"),
+        need_replication_factors=("sq", "d", "sk"),
+        decode_shardings=True)
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def bwd(q, k, v, bias_k, out, lse, do):
+        return _bwd_unpacked(q, k, v, bias_k, out, lse, do, interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h = _bh_spec(arg_shapes[0].sharding)
+        qs = NamedSharding(mesh, P(b, None, h, None))
+        return (qs, qs, qs)
+
+    def part(mesh, arg_shapes, result_shape):
+        b, h = _bh_spec(arg_shapes[0].sharding)
+        qs = NamedSharding(mesh, P(b, None, h, None))
+        bs = NamedSharding(mesh, P(b, None))
+        ls = NamedSharding(mesh, P(b, h, None))
+
+        def lower(q, k, v, bias_k, out, lse, do):
+            return _bwd_unpacked(q, k, v, bias_k, out, lse, do, interpret)
+
+        return mesh, lower, (qs, qs, qs), (qs, qs, qs, bs, qs, ls, qs)
+
+    bwd.def_partition(
+        partition=part, infer_sharding_from_operands=infer,
+        sharding_rule=("b sq h d, b sk h d, b sk h d, b sk, b sq h d, "
+                       "b h sq, b sq h d -> b sq h d, b sk h d, b sk h d"),
+        need_replication_factors=("sq", "d", "sk"),
+        decode_shardings=True)
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_u(q, k, v, interpret, bias_k):
+    out, _ = _fwd_cp(interpret)(q, k, v, bias_k)
+    return out
+
+
+def _flash_u_fwd(q, k, v, interpret, bias_k):
+    out, lse = _fwd_cp(interpret)(q, k, v, bias_k)
+    return out, (q, k, v, bias_k, out, lse)
+
+
+def _flash_u_bwd(interpret, res, do):
+    q, k, v, bias_k, out, lse = res
+    dq, dk, dv = _bwd_cp(interpret)(q, k, v, bias_k, out, lse, do)
+    return dq, dk, dv, None
+
+
+_flash_u.defvjp(_flash_u_fwd, _flash_u_bwd)
+
+
 def flash_attention_shd(q: jax.Array, k: jax.Array, v: jax.Array,
                         bias: Optional[jax.Array] = None,
                         *, interpret: bool = False) -> jax.Array:
@@ -413,6 +565,10 @@ def flash_attention_shd(q: jax.Array, k: jax.Array, v: jax.Array,
         assert bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1, (
             f"flash_attention supports key-mask bias only, got {bias.shape}")
         bias_k = bias[:, 0, 0, :].astype(jnp.float32)
+    if _flash_spmd_enabled():
+        # multi-device: the custom_partitioning wrapper shards over batch
+        # and heads with zero collectives; packing happens per shard
+        return _flash_u(q, k, v, interpret, bias_k)
     pack = _pack_factor(H, D)
     qp = _pack_heads(q, pack)
     kp = _pack_heads(k, pack)
