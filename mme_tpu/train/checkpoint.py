@@ -93,10 +93,12 @@ class CheckpointManager:
         in-flight saves from OTHER machines — two independent
         single-process trainers need no ``jax.distributed`` for that, so
         the process_count()==1 check alone is not enough. The pid probe
-        therefore only decides dirs whose embedded hostname is OURS;
-        foreign-host and legacy ``best_<n>_<pid>`` dirs are collected
-        only once nothing under them has been written for
-        ``_GC_STALE_S`` seconds."""
+        therefore decides dirs whose embedded hostname is OURS and
+        legacy ``best_<n>_<pid>`` dirs (written by this framework's
+        pre-host-tagging layout — realistically this machine's, and the
+        probe errs toward keeping: an EPERM or live pid keeps the dir);
+        FOREIGN-host dirs are collected only once nothing under them has
+        been written for ``_GC_STALE_S`` seconds."""
         import shutil
         import time
         if _process_count() > 1:
@@ -119,8 +121,9 @@ class CheckpointManager:
             path = os.path.join(self.directory, name)
             if not os.path.isdir(path):
                 continue
-            if host == _safe_hostname():
-                # ours: the pid probe is authoritative
+            if host == _safe_hostname() or host == "":
+                # ours or legacy (pre-host-tag layout, this framework's
+                # own old dirs): the pid probe is authoritative
                 try:
                     os.kill(pid, 0)  # 0 = existence probe, no signal sent
                     continue         # owner alive → in-flight, keep
