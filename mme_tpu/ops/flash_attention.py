@@ -26,6 +26,13 @@ TPU layout design (round 3 — this is where the HBM traffic went in round 2):
   single relayout (the same cost the old [B,H,S,D] transpose paid) and
   the unpacked output lands directly in ``[B, S, H*D]`` for the output
   projection. No extra transposes anywhere in the layer.
+- **Zero-relayout lane slicing (round 4).** Even that single relayout is
+  gone: in the row-major ``[B, S, H·D]`` tensor, a 128-lane chunk IS an
+  adjacent head pair, so the BlockSpecs index the lane dimension with the
+  head-group grid axis and DMA blocks straight out of the flat tensor
+  (``_fwd_flat``/``_bwd_flat``). The round-4 copy profile attributed part
+  of a ~10% copies long-tail to the pack/unpack transposes (8 full-tensor
+  relayouts per attention call through fwd+bwd); this path has none.
 
 Both passes are Pallas kernels wired through ``jax.custom_vjp``; numerics
 are validated against the XLA reference path in interpret mode
@@ -259,6 +266,13 @@ def _pack_factor(H: int, D: int) -> int:
     return 2 if (D == 64 and H % 2 == 0) else 1
 
 
+def _flat_ok(pack: int, D: int) -> bool:
+    """Zero-relayout lane-sliced path: legal whenever a pack·D lane chunk
+    is 128-aligned, i.e. for every encoder in the zoo (D=64 even heads,
+    D=128 any heads). Odd-H D=64 keeps the legacy transpose+pad path."""
+    return (pack * D) % 128 == 0
+
+
 def _pack_heads(x, pack):
     """[B, S, H, D] → [B*H//pack, S, pack*D]. Adjacent heads share a
     128-lane operand; the reshape is free (H·D contiguous), the transpose
@@ -396,6 +410,140 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Zero-relayout lane-sliced layout (round 4): the packed layout above pays a
+# real HBM transpose per tensor ([B,S,H,D] → [B·G,S,pack·D] swaps S and the
+# head-group axis) — ~8 full-tensor relayouts per attention call across
+# fwd+bwd, the "head-pack relayouts" line of the round-4 copy profile. But
+# in the row-major [B, S, H·D] tensor the QKV projection ALREADY
+# materializes, a pack·D lane chunk at offset g·pack·D IS a pair of adjacent
+# heads, 128-lane exact. So instead of transposing on the host, the
+# BlockSpecs below index the lane dimension with the head-group grid axis
+# and DMA each [bq, pack·D] block straight out of the flat tensor. The
+# kernels are byte-identical to the packed path; only the specs differ.
+# Operands/results stay [B, S, H·D] end to end (the reshape from/to
+# [B, S, H, D] at the API boundary cancels against the caller's own
+# reshapes under XLA), so the flash path now touches ZERO relayout copies.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_flat(q, k, v, bias_k, head_dim, pack, interpret):
+    """q, k, v: [B, S, H·D] lane-flat → (out [B, Sq, H·D],
+    lse [B·G, pack, Sq]) where G = H // pack."""
+    B, Sq0, HD = q.shape
+    PD = pack * head_dim
+    G = HD // PD
+    Sk0 = k.shape[1]
+    bq, bk = _block_sizes(Sq0, Sk0)
+    Sq, Sk = _round_up(Sq0, bq), _round_up(Sk0, bk)
+    scale = 1.0 / (head_dim ** 0.5)
+    qr = _pad_seq(q, Sq)
+    kr = _pad_seq(k, Sk)
+    vr = _pad_seq(v, Sk)
+    bias = _pad_seq(bias_k, Sk, NEG_INF)[:, None, :]  # [B, 1, Sk]
+    grid = (B * G, pl.cdiv(Sq, bq))
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=bk, seq_k=Sk,
+                          pack=pack, head_dim=head_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, PD), lambda g, i, G=G: (g // G, i, g % G)),
+            pl.BlockSpec((1, Sk, PD), lambda g, i, G=G: (g // G, 0, g % G)),
+            pl.BlockSpec((1, Sk, PD), lambda g, i, G=G: (g // G, 0, g % G)),
+            pl.BlockSpec((1, 1, Sk), lambda g, i, G=G: (g // G, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, PD), lambda g, i, G=G: (g // G, i, g % G)),
+            pl.BlockSpec((1, pack, bq), lambda g, i: (g, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Sq, HD), q.dtype),
+            jax.ShapeDtypeStruct((B * G, pack, Sq), jnp.float32),
+        ],
+        compiler_params=_compiler_params("parallel", "parallel"),
+        interpret=interpret,
+    )(qr, kr, vr, bias)
+    return out[:, :Sq0], lse[:, :, :Sq0]
+
+
+def _bwd_flat(q, k, v, bias_k, out, lse, do, head_dim, pack, interpret):
+    """Flat-layout merged backward. q/k/v/out/do: [B, S, H·D];
+    lse: [B·G, pack, Sq]. Returns (dq, dk, dv) flat."""
+    B, Sq0, HD = q.shape
+    PD = pack * head_dim
+    G = HD // PD
+    Sk0 = k.shape[1]
+    bq, bk = _block_sizes(Sq0, Sk0, bwd=True)
+    Sq, Sk = _round_up(Sq0, bq), _round_up(Sk0, bk)
+    scale = 1.0 / (head_dim ** 0.5)
+    qr = _pad_seq(q, Sq)
+    kr = _pad_seq(k, Sk)
+    vr = _pad_seq(v, Sk)
+    bias = _pad_seq(bias_k, Sk, NEG_INF)[:, None, :]  # [B, 1, Sk]
+    dor = _pad_seq(do, Sq)
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, Sq - Sq0)),
+                    constant_values=LSE_MASKED)
+    # delta_h = sum_d(out_h · do_h): [B, Sq0, H] then heads to sublanes —
+    # a [B, H, Sq] transpose of a TINY tensor (no head_dim axis), the only
+    # non-flat touch in the whole path
+    prod = (out.astype(jnp.float32) * do.astype(jnp.float32)).reshape(
+        B, Sq0, G * pack, head_dim).sum(-1)            # [B, Sq0, H]
+    delta = prod.transpose(0, 2, 1).reshape(B * G, pack, Sq0)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Sq - Sq0)))
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, block_q=bq, seq_q=Sq,
+                          pack=pack, head_dim=head_dim),
+        grid=(B * G, pl.cdiv(Sk, bk)),
+        in_specs=[
+            pl.BlockSpec((1, Sq, PD), lambda g, j, G=G: (g // G, 0, g % G)),
+            pl.BlockSpec((1, bk, PD), lambda g, j, G=G: (g // G, j, g % G)),
+            pl.BlockSpec((1, bk, PD), lambda g, j, G=G: (g // G, j, g % G)),
+            pl.BlockSpec((1, 1, bk), lambda g, j, G=G: (g // G, 0, j)),
+            pl.BlockSpec((1, Sq, PD), lambda g, j, G=G: (g // G, 0, g % G)),
+            pl.BlockSpec((1, pack, Sq), lambda g, j: (g, 0, 0)),
+            pl.BlockSpec((1, pack, Sq), lambda g, j: (g, 0, 0)),
+        ],
+        out_specs=[
+            # dq is revisited across the sequential k-tile axis (constant
+            # index over j) and accumulated in fp32; cast back outside
+            pl.BlockSpec((1, Sq, PD), lambda g, j, G=G: (g // G, 0, g % G)),
+            pl.BlockSpec((1, bk, PD), lambda g, j, G=G: (g // G, j, g % G)),
+            pl.BlockSpec((1, bk, PD), lambda g, j, G=G: (g // G, j, g % G)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Sq, HD), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sk, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, Sk, HD), v.dtype),
+        ],
+        compiler_params=_compiler_params("parallel", "arbitrary"),
+        interpret=interpret,
+    )(qr, kr, vr, bias, dor, lse_p, delta)
+
+    return dq[:, :Sq0].astype(q.dtype), dk[:, :Sk0], dv[:, :Sk0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_flat(q, k, v, head_dim, pack, interpret, bias_k):
+    out, _ = _fwd_flat(q, k, v, bias_k, head_dim, pack, interpret)
+    return out
+
+
+def _flash_flat_fwd(q, k, v, head_dim, pack, interpret, bias_k):
+    out, lse = _fwd_flat(q, k, v, bias_k, head_dim, pack, interpret)
+    return out, (q, k, v, bias_k, out, lse)
+
+
+def _flash_flat_bwd(head_dim, pack, interpret, res, do):
+    q, k, v, bias_k, out, lse = res
+    dq, dk, dv = _bwd_flat(q, k, v, bias_k, out, lse, do, head_dim, pack,
+                           interpret)
+    return dq, dk, dv, None
+
+
+_flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
 # SPMD partitioning (multi-chip): a pallas_call is an opaque custom call to
 # GSPMD/Shardy, so under a pjit mesh the partitioner's last resort is to
 # gather the full operands onto every device before running the kernel —
@@ -426,6 +574,12 @@ def _fwd_unpacked(q, k, v, bias_k, interpret):
     """[B, Sq, H, D] forward → (out [B, Sq, H, D], lse [B, H, Sq])."""
     B, Sq, H, D = q.shape
     pack = _pack_factor(H, D)
+    if _flat_ok(pack, D):
+        out, lse = _fwd_flat(q.reshape(B, Sq, H * D),
+                             k.reshape(B, -1, H * D),
+                             v.reshape(B, -1, H * D), bias_k, D, pack,
+                             interpret)
+        return out.reshape(B, Sq, H, D), lse.reshape(B, H, Sq)
     out, lse = _fwd_packed(_pack_heads(q, pack), _pack_heads(k, pack),
                            _pack_heads(v, pack), bias_k, D, pack, interpret)
     # lse [B·H/pack, pack, Sq]: group-major head order → plain reshape
@@ -435,12 +589,20 @@ def _fwd_unpacked(q, k, v, bias_k, interpret):
 def _bwd_unpacked(q, k, v, bias_k, out, lse, do, interpret):
     B, Sq, H, D = q.shape
     pack = _pack_factor(H, D)
+    if _flat_ok(pack, D):
+        dq, dk, dv = _bwd_flat(
+            q.reshape(B, Sq, H * D), k.reshape(B, -1, H * D),
+            v.reshape(B, -1, H * D), bias_k, out.reshape(B, Sq, H * D),
+            lse.reshape(B * (H // pack), pack, Sq),
+            do.reshape(B, Sq, H * D), D, pack, interpret)
+        Sk = k.shape[1]
+        return (dq.reshape(B, Sq, H, D), dk.reshape(B, Sk, H, D),
+                dv.reshape(B, Sk, H, D))
     dq, dk, dv = _bwd_packed(
         _pack_heads(q, pack), _pack_heads(k, pack), _pack_heads(v, pack),
         bias_k, _pack_heads(out, pack),
         lse.reshape(B * (H // pack), pack, Sq), _pack_heads(do, pack),
         D, pack, interpret)
-    Sk = k.shape[1]
     return (_unpack_heads(dq, B, H, D, pack),
             _unpack_heads(dk, B, H, D, pack),
             _unpack_heads(dv, B, H, D, pack))
@@ -567,9 +729,17 @@ def flash_attention_shd(q: jax.Array, k: jax.Array, v: jax.Array,
         bias_k = bias[:, 0, 0, :].astype(jnp.float32)
     if _flash_spmd_enabled():
         # multi-device: the custom_partitioning wrapper shards over batch
-        # and heads with zero collectives; packing happens per shard
+        # and heads with zero collectives; lane-slicing happens per shard
         return _flash_u(q, k, v, interpret, bias_k)
     pack = _pack_factor(H, D)
+    if _flat_ok(pack, D):
+        # zero-relayout path: lane-chunk BlockSpecs read head pairs
+        # straight out of the [B, S, H·D] tensor; the boundary reshapes
+        # cancel against the caller's own under XLA
+        out = _flash_flat(q.reshape(B, Sq, H * D), k.reshape(B, Sk, H * D),
+                          v.reshape(B, Sk, H * D), D, pack, interpret,
+                          bias_k)
+        return out.reshape(B, Sq, H, D)
     qp = _pack_heads(q, pack)
     kp = _pack_heads(k, pack)
     vp = _pack_heads(v, pack)
