@@ -195,3 +195,60 @@ def test_block_sizes_reject_lane_rule_violations(monkeypatch):
     monkeypatch.setenv("MME_FLASH_BK_BWD", "300")
     _, bk = _block_sizes(512, 300, bwd=True)
     assert bk == 300
+
+
+def test_flat_path_d128_matches_xla():
+    """D=128 (pack=1) rides the round-4 zero-relayout lane-sliced path —
+    no zoo encoder uses it, but the dispatcher admits it; pin fwd+grads."""
+    B, H, S, D = 1, 2, 200, 128
+    q, k, v = _qkv(9, B, H, S, D)
+    keep = np.ones((B, S), np.int32)
+    keep[0, 170:] = 0
+    bias = additive_mask(jnp.asarray(keep))
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g_ref = jax.grad(lambda a, b, c: (_xla_attention(a, b, c, bias) ** 2
+                                      ).sum(), argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(lambda a, b, c: (flash_attention(a, b, c, bias,
+                                                     interpret=True) ** 2
+                                     ).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fl, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_flat_matches_packed_directly():
+    """The flat (lane-sliced BlockSpec) and packed (host transpose) layouts
+    share kernels byte-for-byte; their fwd+bwd outputs must agree exactly
+    up to float noise on the SAME inputs — catches BlockSpec index-map
+    regressions independent of the XLA oracle."""
+    from mme_tpu.ops import flash_attention as fa
+    B, H, S, D = 2, 4, 260, 64           # pack=2, multi-block, padded seq
+    q, k, v = _qkv(10, B, H, S, D)
+    keep = np.ones((B, S), np.int32)
+    keep[0, 200:] = 0
+    bias_k = np.zeros((B, S), np.float32)
+    bias_k[keep == 0] = -1e9
+    bias_k = jnp.asarray(bias_k)
+    pack = fa._pack_factor(H, D)
+    qs = q.transpose(0, 2, 1, 3)          # [B, S, H, D]
+    ks = k.transpose(0, 2, 1, 3)
+    vs = v.transpose(0, 2, 1, 3)
+
+    def loss_flat(a, b, c):
+        o = fa._flash_flat(a.reshape(B, S, H * D), b.reshape(B, S, H * D),
+                           c.reshape(B, S, H * D), D, pack, True, bias_k)
+        return (o ** 2).sum()
+
+    def loss_packed(a, b, c):
+        o = fa._flash(fa._pack_heads(a, pack), fa._pack_heads(b, pack),
+                      fa._pack_heads(c, pack), D, pack, True, bias_k)
+        return (o ** 2).sum()
+
+    lf, gf = jax.value_and_grad(loss_flat, argnums=(0, 1, 2))(qs, ks, vs)
+    lp, gp = jax.value_and_grad(loss_packed, argnums=(0, 1, 2))(qs, ks, vs)
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
+    for a, b, name in zip(gf, gp, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=f"d{name} flat vs packed")
