@@ -180,12 +180,20 @@ def main():
 
     n_chips = max(len(jax.devices()), 1)
     utt_per_sec_per_chip = batch_size * steps / best_dt / n_chips
+    # MFU: ~2.6 TFLOP/sample fwd+bwd (ESTIMATED analytically from the
+    # tower shapes — BASELINE.md roofline row) against the 197 TFLOP/s
+    # v5e bf16 peak; only meaningful on TPU at default bench shapes.
+    tflop_per_sample = 2.6
+    peak_tflops = 197.0
     print(json.dumps({
         "metric": "MELD utterances/sec/chip (TAV fusion train)",
         "value": round(utt_per_sec_per_chip, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec_per_chip / baseline_utt_per_sec(),
                              2),
+        "mfu": round(utt_per_sec_per_chip * tflop_per_sample / peak_tflops,
+                     4),
+        "mfu_note": "est. 2.6 TFLOP/sample / 197 TFLOP/s v5e bf16 peak",
     }))
 
 

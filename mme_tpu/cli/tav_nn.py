@@ -47,18 +47,31 @@ def main(argv=None):
         # params fp32, activations/matmuls bf16, softmax/LN fp32
         spec = spec.with_compute_dtype(jnp.bfloat16)
         print("compute dtype: bfloat16", flush=True)
+    if _os.environ.get("MME_SHARE_FRONTEND", "0") == "1":
+        # one conv audio frontend feeds PreFormer AND the audio tower
+        # (TAVSpec.share_audio_frontend — the documented deviation bench.py
+        # defaults to via BENCH_SHARE=1; the reference runs two separate
+        # conv stacks, models/tav.py:259+352 vs :455+476). Quality-gated by
+        # tests/test_quality_gate_tav.py::test_tied_frontend_matches.
+        import dataclasses as _dcs
+        spec = _dcs.replace(spec, share_audio_frontend=True)
+        print("shared audio frontend (tied conv stacks)", flush=True)
 
     # -m selects the fusion architecture (reference tav_nn.py model flag;
     # 'MAE_encoder' is its default)
     model_cls = FUSION_MODELS.get(cfg.model, FUSION_MODELS["MAE_encoder"])
 
-    # Sequence/pipeline parallelism on the fusion trunk (beyond-reference
-    # scaling axes, SURVEY §5.7/§2.9): MME_SP=<n> runs the trunk's
+    # Sequence/pipeline parallelism on a named tower (beyond-reference
+    # scaling axes, SURVEY §5.7/§2.9): MME_SP=<n> runs the chosen tower's
     # attention as ring attention sequence-sharded over n devices;
-    # MME_PP=<n> streams the trunk's layers as an n-stage GPipe pipeline
-    # (MME_PP_MICRO microbatches, default 4). Remaining devices form a dp
-    # axis; dp×sp / dp×pp compose. These change EXECUTION, not params —
-    # checkpoints and pretrained trees are unaffected.
+    # MME_PP=<n> streams its layers as an n-stage GPipe pipeline
+    # (MME_PP_MICRO microbatches, default 4). MME_SP_TOWER / MME_PP_TOWER
+    # select the tower: fusion (default) | video | audio | text — the
+    # video tower is the dominant per-step cost (BASELINE.md tower table)
+    # and the audio tower is §5.7's motivating case (lifting the
+    # audio_shape cap). Remaining devices form a dp axis; dp×sp / dp×pp
+    # compose. These change EXECUTION, not params — checkpoints and
+    # pretrained trees are unaffected.
     mesh = None
     sp = int(_os.environ.get("MME_SP", "0") or 0)
     pp = int(_os.environ.get("MME_PP", "0") or 0)
@@ -67,19 +80,34 @@ def main(argv=None):
         assert not (sp > 1 and pp > 1), "MME_SP and MME_PP are exclusive"
         n_dev = len(jax.devices())
         par, axis = (sp, "sp") if sp > 1 else (pp, "pp")
+        tower = _os.environ.get(
+            "MME_SP_TOWER" if sp > 1 else "MME_PP_TOWER", "fusion")
+        assert tower in ("fusion", "video", "audio", "text"), tower
         assert n_dev % par == 0, f"{n_dev} devices not divisible by {par}"
         dp = n_dev // par
         assert cfg.batch_size % dp == 0, (
             f"batch {cfg.batch_size} not divisible by dp={dp}")
         from mme_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp, par, axis_names=("dp", axis))
+
+        def tower_encoder(s):
+            return s.fusion if tower == "fusion" else \
+                getattr(s, tower).encoder
+
+        def with_tower_encoder(s, enc):
+            if tower == "fusion":
+                return _dc.replace(s, fusion=enc)
+            sub = getattr(s, tower)
+            return _dc.replace(s, **{tower: _dc.replace(sub, encoder=enc)})
+
+        enc = tower_encoder(spec)
         if sp > 1:
-            fusion = _dc.replace(spec.fusion, seq_mesh=mesh, seq_axis="sp",
-                                 batch_axis="dp")
+            enc = _dc.replace(enc, seq_mesh=mesh, seq_axis="sp",
+                              batch_axis="dp")
         else:
             micro = int(_os.environ.get("MME_PP_MICRO", "4"))
-            assert spec.fusion.layers % par == 0, (
-                f"{spec.fusion.layers} fusion layers not divisible into "
+            assert enc.layers % par == 0, (
+                f"{enc.layers} {tower} layers not divisible into "
                 f"{par} stages")
             # the global batch splits into microbatches FIRST, then each
             # microbatch's rows shard over dp
@@ -87,10 +115,10 @@ def main(argv=None):
                 (cfg.batch_size // micro) % dp == 0, (
                     f"batch {cfg.batch_size} must split into {micro} "
                     f"microbatches of a dp={dp} multiple (MME_PP_MICRO)")
-            fusion = _dc.replace(spec.fusion, pp_mesh=mesh, pp_axis="pp",
-                                 pp_micro=micro, batch_axis="dp")
-        spec = _dc.replace(spec, fusion=fusion)
-        print(f"fusion trunk {axis}={par} dp={dp} "
+            enc = _dc.replace(enc, pp_mesh=mesh, pp_axis="pp",
+                              pp_micro=micro, batch_axis="dp")
+        spec = with_tower_encoder(spec, enc)
+        print(f"{tower} tower {axis}={par} dp={dp} "
               f"({'ring attention' if sp > 1 else 'GPipe pipeline'})",
               flush=True)
 

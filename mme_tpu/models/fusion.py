@@ -210,9 +210,18 @@ class PreFormer(nn.Module):
             parts.insert(0, t)
             type_parts.insert(0, jnp.zeros((B, t.shape[1]), jnp.int32))
             keep_parts.insert(0, text_mask.astype(jnp.int32))
-        fused = jnp.concatenate(parts, axis=1)
-        type_ids = jnp.concatenate(type_parts, axis=1)
-        keep = jnp.concatenate(keep_parts, axis=1)
+        # Pin the concat path batch-sharded: without these constraints the
+        # SPMD partitioner sharded the small s32 mask/type tensors along the
+        # SEQUENCE dim over the whole mesh and then paid an involuntary
+        # full-rematerialization resharding them at the concatenate
+        # (compiler-flagged, VERDICT r4). No-op off-mesh.
+        from mme_tpu.parallel.sharding_rules import batch_constraint
+        parts = [batch_constraint(p) for p in parts]
+        type_parts = [batch_constraint(p) for p in type_parts]
+        keep_parts = [batch_constraint(p) for p in keep_parts]
+        fused = batch_constraint(jnp.concatenate(parts, axis=1))
+        type_ids = batch_constraint(jnp.concatenate(type_parts, axis=1))
+        keep = batch_constraint(jnp.concatenate(keep_parts, axis=1))
         return fused, type_ids, keep
 
 
@@ -246,8 +255,9 @@ class TAVForMAE(nn.Module):
                  fused_keep: jax.Array,
                  *, deterministic: bool = True,
                  audio_features: Optional[jax.Array] = None) -> jax.Array:
+        from mme_tpu.parallel.sharding_rules import batch_constraint
         s = self.spec
-        av = fused + self.modality_embedding(type_ids)
+        av = batch_constraint(fused + self.modality_embedding(type_ids))
 
         # (c) full audio tower → mean-pool (models/tav.py:476-478; the
         # reference's unmasked mean is replaced by a correct masked mean)
@@ -278,7 +288,7 @@ class TAVForMAE(nn.Module):
         aud = self.audio_norm(aud)
         vid = self.video_norm(vid)
 
-        tav = jnp.concatenate([av, t, aud, vid], axis=1)
+        tav = batch_constraint(jnp.concatenate([av, t, aud, vid], axis=1))
         tav = self.dropout(tav, deterministic=deterministic)
         return self.classifier(tav)
 

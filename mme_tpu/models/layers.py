@@ -155,6 +155,16 @@ class MultiHeadAttention(nn.Module):
                                   ((0, 0), (0, 0), (0, pad), (0, 0)))
                           if pad else a.transpose(0, 2, 1, 3)
                           for a in (q, k, v))
+            # pin the shard_map operands' outside-world layout: without
+            # this the seq sharding at the shard_map boundary propagates
+            # BACKWARD through pad/concat into the tiny mask ops and the
+            # partitioner pays involuntary full rematerializations there
+            # (VERDICT r4); the constraint is a propagation barrier, and
+            # replicated→seq-sharded at the boundary is a cheap local slice
+            from mme_tpu.parallel.sharding_rules import batch_constraint
+            qt, kt, vt = (batch_constraint(a) for a in (qt, kt, vt))
+            if key_bias is not None:
+                key_bias = batch_constraint(key_bias)
             out = ring_attention(qt, kt, vt,
                                  s.seq_mesh, s.seq_axis, key_bias=key_bias,
                                  batch_axis=s.batch_axis)

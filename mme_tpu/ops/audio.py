@@ -40,7 +40,13 @@ def feature_vector_attention_mask(feature_len: int,
     length are attended."""
     lengths = conv_output_lengths(attention_mask.sum(axis=-1), kernels, strides)
     idx = jnp.arange(feature_len)[None, :]
-    return (idx < lengths[:, None]).astype(jnp.int32)
+    mask = (idx < lengths[:, None]).astype(jnp.int32)
+    # Pin the mask batch-sharded under a dp mesh (no-op otherwise): left
+    # unconstrained, the SPMD partitioner shards the iota-compare along the
+    # FRAME dim over the whole mesh and pays an involuntary full
+    # rematerialization at every batch-sharded consumer (VERDICT r4).
+    from mme_tpu.parallel.sharding_rules import batch_constraint
+    return batch_constraint(mask)
 
 
 def spec_augment_mask(rng: jax.Array, batch: int, seq_len: int,
@@ -82,7 +88,10 @@ def spec_augment_mask(rng: jax.Array, batch: int, seq_len: int,
     mask = jnp.any(in_span & span_active[..., None], axis=1)
     if attention_mask is not None:
         mask = mask & (jnp.arange(seq_len)[None, :] < lengths[:, None])
-    return mask
+    # same rationale as feature_vector_attention_mask: pin the mask's
+    # layout so the partitioner doesn't seq-shard the span compares
+    from mme_tpu.parallel.sharding_rules import batch_constraint
+    return batch_constraint(mask)
 
 
 def apply_spec_augment(rng: jax.Array, hidden: jax.Array,

@@ -23,6 +23,34 @@ from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax._src.mesh import thread_resources
+
+
+def batch_constraint(x: Any, batch_axis: str = "dp") -> Any:
+    """Pin a tensor's leading (batch) dim to the data-parallel mesh axis.
+
+    Model code calls this on intermediates whose sharding the SPMD
+    partitioner would otherwise have to guess (the PreFormer concat/mask
+    path was compiler-flagged with `[SPMD] Involuntary full
+    rematerialization` before these constraints — small s32 mask tensors
+    were being sharded along the sequence dim over the whole mesh and then
+    resharded batch-wise at the concatenate). Under a mesh WITHOUT a
+    ``batch_axis`` axis (pure sp/pp/ep meshes) or with an indivisible
+    leading dim, the tensor is pinned fully replicated instead — also a
+    voluntary, efficient layout (the partitioner otherwise picks a partial
+    batch sharding and pays the flagged involuntary resharding against the
+    seq-sharded trunk). No-op when tracing outside any mesh context
+    (single-chip, CPU tests)."""
+    mesh = thread_resources.env.physical_mesh
+    ndim = getattr(x, "ndim", 0)
+    if mesh.empty or ndim == 0:
+        return x
+    if (batch_axis in mesh.axis_names
+            and x.shape[0] % mesh.shape[batch_axis] == 0):
+        spec = P(batch_axis, *([None] * (ndim - 1)))
+    else:
+        spec = P()
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def tp_spec_for_path(path: tuple, leaf: Any, mp_axis: str = "mp") -> P:

@@ -248,7 +248,19 @@ def test_flat_matches_packed_directly():
 
     lf, gf = jax.value_and_grad(loss_flat, argnums=(0, 1, 2))(qs, ks, vs)
     lp, gp = jax.value_and_grad(loss_packed, argnums=(0, 1, 2))(qs, ks, vs)
-    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-6)
+    # element-wise forward comparison (ADVICE r4): the flat/packed outputs
+    # are identical values in different layouts, but the ~133k-element fp32
+    # scalar reduction may associate differently — compare the tensors, not
+    # the loss sum
+    o_flat = fa._flash_flat(qs.reshape(B, S, H * D), ks.reshape(B, S, H * D),
+                            vs.reshape(B, S, H * D), D, pack, True, bias_k)
+    o_packed = fa._flash(fa._pack_heads(qs, pack), fa._pack_heads(ks, pack),
+                         fa._pack_heads(vs, pack), D, pack, True, bias_k)
+    np.testing.assert_allclose(
+        np.asarray(o_flat).reshape(B, S, H, D),
+        np.asarray(fa._unpack_heads(o_packed, B, H, D, pack)), atol=1e-6,
+        err_msg="flat vs packed forward (element-wise)")
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
     for a, b, name in zip(gf, gp, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                    err_msg=f"d{name} flat vs packed")

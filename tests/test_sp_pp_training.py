@@ -16,7 +16,8 @@ def _run_cli(tmp_path, monkeypatch, tag, env):
     d.mkdir()
     monkeypatch.chdir(d)
     for k in ("MME_SP", "MME_PP", "MME_PP_MICRO", "MME_MESH", "MME_MP",
-              "MME_DP"):
+              "MME_DP", "MME_SP_TOWER", "MME_PP_TOWER",
+              "MME_SHARE_FRONTEND"):
         monkeypatch.delenv(k, raising=False)
     for k, v in env.items():
         monkeypatch.setenv(k, v)
@@ -65,6 +66,41 @@ def test_cli_trains_under_pp(tmp_path, monkeypatch, baseline):
         pytest.skip("needs the virtual 8-device CPU mesh")
     summary = _run_cli(tmp_path, monkeypatch, "pp",
                        {"MME_PP": "2", "MME_PP_MICRO": "2"})
+    _assert_matches(summary, baseline)
+
+
+def test_cli_trains_under_sp_video_tower(tmp_path, monkeypatch, baseline):
+    """MME_SP_TOWER=video: the VIDEO tower (the dominant per-step cost —
+    126.8 ms/step standalone at bench scale, BASELINE.md) trains with its
+    encoder's attention ring-sharded over sp=2 while the fusion trunk runs
+    dense. Numerics must match the plain run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    summary = _run_cli(tmp_path, monkeypatch, "spv",
+                       {"MME_SP": "2", "MME_SP_TOWER": "video"})
+    _assert_matches(summary, baseline)
+
+
+def test_cli_trains_under_sp_audio_tower(tmp_path, monkeypatch, baseline):
+    """MME_SP_TOWER=audio: the audio tower — SURVEY §5.7's motivating case
+    (sequence-sharding exists to lift the reference's audio_shape cap) —
+    trains ring-sharded, with its per-key feature mask flowing through the
+    ring as an additive bias."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    summary = _run_cli(tmp_path, monkeypatch, "spa",
+                       {"MME_SP": "2", "MME_SP_TOWER": "audio"})
+    _assert_matches(summary, baseline)
+
+
+def test_cli_trains_under_pp_audio_tower(tmp_path, monkeypatch, baseline):
+    """MME_PP_TOWER=audio: the audio tower's 2 (tiny) layers as a 2-stage
+    GPipe pipeline, final stable-LN applied post-pipeline."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    summary = _run_cli(tmp_path, monkeypatch, "ppa",
+                       {"MME_PP": "2", "MME_PP_MICRO": "2",
+                        "MME_PP_TOWER": "audio"})
     _assert_matches(summary, baseline)
 
 
