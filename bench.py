@@ -37,6 +37,100 @@ def baseline_utt_per_sec() -> float:
     return max(V100_ENVELOPE_UTT_PER_SEC, measured)
 
 
+def bench_meld_distribution(jax, jnp, state, train_step, template_batch,
+                            labels, mask, cw, one, yes, rng, batch_size,
+                            audio_len, steps):
+    """Train-step throughput under a MELD-like utterance-length
+    distribution through length buckets (4 compiled shapes). Prints the
+    one JSON line and returns."""
+    import sys
+    import numpy as np
+
+    n_utt = int(os.environ.get("BENCH_DIST_N", str(batch_size * steps)))
+    rs = np.random.RandomState(0)
+    secs = np.clip(np.exp(rs.normal(np.log(2.8), 0.55, n_utt)), 0.75, 6.0)
+    lengths = np.minimum((secs * 16000).astype(np.int64), audio_len)
+    bounds = [audio_len // 4, audio_len // 2, 3 * audio_len // 4, audio_len]
+    bucket_of = np.searchsorted(bounds, lengths)
+
+    wave_full = np.asarray(template_batch["waveform"])
+    arange = np.arange(audio_len)
+
+    def make_batches():
+        """(batch, n_real) per bucket-grouped batch — the iteration the
+        CLI's BucketedBatchIter drives, with text/video held at bench
+        shapes (length variation is an audio-path property)."""
+        out = []
+        for b, bound in enumerate(bounds):
+            idx = np.where(bucket_of == b)[0]
+            for s in range(0, len(idx), batch_size):
+                sel = idx[s:s + batch_size]
+                n_real = len(sel)
+                if n_real < batch_size:   # wrap the tail to a full batch
+                    sel = np.concatenate(
+                        [sel, idx[:batch_size - n_real]]) if len(idx) >= \
+                        batch_size else np.resize(sel, batch_size)
+                lens = lengths[sel]
+                am = (arange[None, :bound] < lens[:, None]).astype(np.int32)
+                wav = wave_full[np.arange(batch_size) % wave_full.shape[0],
+                                :bound] * am
+                batch = dict(template_batch)
+                batch["waveform"] = jnp.asarray(wav, jnp.float32)
+                batch["audio_mask"] = jnp.asarray(am)
+                out.append((batch, n_real))
+        return out
+
+    bucket_batches = make_batches()
+    n_real_total = sum(n for _, n in bucket_batches)
+    assert n_real_total == n_utt
+
+    # warmup: compile every bucket shape once
+    t_c = time.perf_counter()
+    seen = set()
+    st = state
+    for batch, _ in bucket_batches:
+        shape = batch["waveform"].shape
+        if shape in seen:
+            continue
+        seen.add(shape)
+        st, loss, _, _ = train_step(st, batch, labels, mask, cw, one, yes,
+                                    rng)
+    _ = float(loss)
+    print(f"# compile ({len(seen)} bucket shapes): "
+          f"{time.perf_counter() - t_c:.1f}s", file=sys.stderr, flush=True)
+
+    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    best_dt = float("inf")
+    for _ in range(windows):
+        st = state
+        t0 = time.perf_counter()
+        for batch, _ in bucket_batches:
+            st, loss, _, _ = train_step(st, batch, labels, mask, cw, one,
+                                        yes, rng)
+        last_loss = float(loss)   # host transfer = true device sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    import math
+    assert math.isfinite(last_loss), f"non-finite loss {last_loss}"
+
+    n_chips = max(len(jax.devices()), 1)
+    eff = n_real_total / best_dt / n_chips
+    pad_bucketed = float(lengths.sum()) / float(
+        sum(bounds[b] for b in bucket_of))
+    pad_fixed = float(lengths.sum()) / float(n_utt * audio_len)
+    print(json.dumps({
+        "metric": "MELD utterances/sec/chip (TAV fusion train, "
+                  "realistic length distribution, bucketed)",
+        "value": round(eff, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(eff / baseline_utt_per_sec(), 2),
+        "audio_padding_efficiency_bucketed": round(pad_bucketed, 3),
+        "audio_padding_efficiency_fixed_cap": round(pad_fixed, 3),
+        "n_utterances": n_utt,
+        "length_note": "lognormal median 2.8s sigma 0.55 clip [0.75, 6]s "
+                       "(assumed; no MELD media on host)",
+    }))
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_mme")
@@ -147,6 +241,21 @@ def main():
     one = jnp.asarray(1.0, jnp.float32)
     yes = jnp.asarray(True)
     rng = jax.random.PRNGKey(0)
+
+    if os.environ.get("BENCH_DIST") == "meld":
+        # Realistic-length-distribution throughput (VERDICT r4 weak #2):
+        # the fixed-shape headline pads every utterance to the 6 s cap,
+        # but MELD utterances are typically 2-4 s — this mode samples a
+        # MELD-like duration distribution, routes it through the length
+        # buckets the CLI uses (data/dataset.py::bucketed_batches
+        # semantics: one compiled shape per bound), and reports EFFECTIVE
+        # utterances/sec/chip plus padding efficiency. Distribution is an
+        # ASSUMPTION (no MELD media on this host): lognormal, median
+        # ~2.8 s, σ=0.55, clipped to [0.75 s, 6 s] — the cap matches the
+        # reference's audio_shape filter (SingleModels/audio_nn.py:115).
+        return bench_meld_distribution(
+            jax, jnp, state, train_step, batch, labels, mask, cw, one,
+            yes, rng, batch_size, audio_len, steps)
 
     # warmup / compile
     import sys

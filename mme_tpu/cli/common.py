@@ -253,4 +253,5 @@ def run_classifier(cfg: ExperimentConfig,
                       batch_size=cfg.batch_size,
                       batch_stats=state.batch_stats, id2label=id2label)
         print(f"wrote serving bundle: {export_dir}", flush=True)
+    logger.finish()   # closes the wandb mirror run, if any (MME_WANDB=1)
     return summary

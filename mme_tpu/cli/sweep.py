@@ -154,12 +154,20 @@ def main(argv=None):
                     pass  # sibling mid-write; pick it up next trial
             return out
 
+    trial_counter = [args.trial_offset]
+
     def trial(params):
         argv_trial = []
         for k, v in params.items():
             argv_trial += [f"--{k}", str(v)]
         if args.dataset:
             argv_trial += ["--dataset", args.dataset]
+        # wandb mirror (MME_WANDB=1, utils/profiling.RunLogger): tag each
+        # trial as its own named run — the `wandb agent` trial-per-run
+        # convention the reference's sweeps produce
+        os.environ["MME_WANDB_NAME"] = (
+            f"sweep-{args.entry}-t{trial_counter[0]}")
+        trial_counter[0] += args.stride
         summary = entry.main(argv_trial)
         # sweep metrics key on val/loss; the entry returns the test summary —
         # map the metric name onto whatever split it carries

@@ -54,12 +54,32 @@ class StepTimer:
 
 
 class RunLogger:
-    """JSONL logger with wandb-style keyed dicts; one file per run."""
+    """JSONL logger with wandb-style keyed dicts; one file per run.
+
+    Optional wandb mirror (the reference's entire observability backend is
+    wandb, ``tav_nn.py:104-105,121-122``): with ``MME_WANDB=1`` and wandb
+    importable+configured, every logged dict is also sent to ``wandb.log``
+    (keys unchanged — the metric scheme already matches the reference's
+    ``{split}/multiF1/{label}`` keys, evals/metrics.py). Unavailable or
+    failing wandb degrades to JSONL-only with a notice; the JSONL file
+    stays the source of truth either way."""
 
     def __init__(self, run_dir: str, name: str = "metrics"):
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, f"{name}.jsonl")
         self._step = 0
+        self._wandb = None
+        if os.environ.get("MME_WANDB") == "1":
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=os.environ.get("MME_WANDB_PROJECT", "mme_tpu"),
+                    name=(os.environ.get("MME_WANDB_NAME")
+                          or os.path.basename(os.path.abspath(run_dir))),
+                    dir=run_dir, reinit=True)
+            except Exception as e:  # noqa: BLE001 — any wandb failure
+                print(f"MME_WANDB=1 but wandb unavailable ({e!r}); "
+                      "logging JSONL only", flush=True)
 
     def log(self, metrics: Dict[str, Any]) -> None:
         rec = {"_step": self._step, "_time": time.time()}
@@ -67,4 +87,21 @@ class RunLogger:
             rec[k] = float(v) if hasattr(v, "__float__") else v
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            try:
+                self._wandb.log(
+                    {k: v for k, v in rec.items() if not k.startswith("_")},
+                    step=self._step)
+            except Exception as e:  # noqa: BLE001
+                print(f"wandb.log failed ({e!r}); disabling mirror",
+                      flush=True)
+                self._wandb = None
         self._step += 1
+
+    def finish(self) -> None:
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            except Exception:
+                pass
+            self._wandb = None
