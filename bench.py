@@ -99,10 +99,11 @@ def bench_meld_distribution(jax, jnp, state, train_step, template_batch,
     print(f"# compile ({len(seen)} bucket shapes): "
           f"{time.perf_counter() - t_c:.1f}s", file=sys.stderr, flush=True)
 
+    # thread st continuously — the step donates its state buffers, so the
+    # pre-warmup `state` is already consumed
     windows = int(os.environ.get("BENCH_WINDOWS", "3"))
     best_dt = float("inf")
     for _ in range(windows):
-        st = state
         t0 = time.perf_counter()
         for batch, _ in bucket_batches:
             st, loss, _, _ = train_step(st, batch, labels, mask, cw, one,
@@ -303,6 +304,10 @@ def main():
         "mfu": round(utt_per_sec_per_chip * tflop_per_sample / peak_tflops,
                      4),
         "mfu_note": "est. 2.6 TFLOP/sample / 197 TFLOP/s v5e bf16 peak",
+        "baseline_note": "denominator is the ESTIMATED 2.0 utt/s V100 "
+                         "envelope (reference records no throughput; "
+                         "same-host torch-CPU measured 0.028 utt/s can "
+                         "only raise it) — the multiple is an estimated-x",
     }))
 
 

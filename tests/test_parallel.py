@@ -71,3 +71,47 @@ def test_eval_cm_psum_equivalence():
     cm_local = f(preds, labels)
     np.testing.assert_array_equal(np.asarray(cm_sharded),
                                   np.asarray(cm_local))
+
+
+def test_batch_constraint_semantics():
+    """parallel/sharding_rules.batch_constraint (round 5): under a mesh
+    with a dp axis it pins the leading dim dp-sharded; under a mesh
+    WITHOUT one (pure sp/pp/ep) it pins fully replicated; outside any
+    mesh it is a no-op. These pins are what keeps the SPMD partitioner
+    from involuntary full rematerializations (dryrun gate)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from mme_tpu.parallel.sharding_rules import batch_constraint
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+        pytest.skip("needs the virtual 8-device CPU mesh")
+
+    x = jnp.arange(8 * 3, dtype=jnp.float32).reshape(8, 3)
+
+    # no ambient mesh → identity
+    y = jax.jit(batch_constraint)(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    # dp mesh → P("dp", None)
+    mesh = Mesh(np.asarray(devs).reshape(4, 2), ("dp", "mp"))
+    with mesh:
+        y = jax.jit(batch_constraint)(x)
+    assert y.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(mesh, P("dp", None)), x.ndim)
+
+    # dp mesh, indivisible batch → replicated (init-time batch-1 traces)
+    x1 = x[:1]
+    with mesh:
+        y1 = jax.jit(batch_constraint)(x1)
+    assert y1.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(mesh, P()), x1.ndim)
+
+    # sp-only mesh → replicated
+    sp_mesh = Mesh(np.asarray(devs), ("sp",))
+    with sp_mesh:
+        y = jax.jit(batch_constraint)(x)
+    assert y.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(sp_mesh, P()), x.ndim)
