@@ -80,6 +80,23 @@ class Predictor:
         self._variables = jax.device_put(variables)
 
         def forward(variables, batch):
+            v = batch.get("video") if isinstance(batch, dict) else None
+            if v is not None and jnp.asarray(v).dtype == jnp.uint8:
+                # uint8 video ingress: clients ship 4× fewer bytes over
+                # the serving link (the measured bottleneck through a
+                # network-attached chip) and the ImageNet normalization
+                # runs on device — same math as the training transform
+                # (train/build_tav.py::make_video_keep_transform),
+                # including all-zero pad frames mapping back to exact 0.0
+                from mme_tpu.data.records import IMAGENET_MEAN, IMAGENET_STD
+                v = jnp.asarray(v)
+                valid = (v.reshape(v.shape[0], v.shape[1], -1).max(axis=-1)
+                         > 0)
+                vf = ((v.astype(jnp.float32) / 255.0
+                       - jnp.asarray(IMAGENET_MEAN, jnp.float32))
+                      / jnp.asarray(IMAGENET_STD, jnp.float32))
+                batch = dict(batch)
+                batch["video"] = vf * valid[:, :, None, None, None]
             logits = apply_fn(variables, batch, deterministic=True,
                               rngs=None)
             if isinstance(logits, tuple):

@@ -41,41 +41,81 @@ def main():
                            rngs=rngs)
 
     results = []
+    lat_calls = int(os.environ.get("SERVE_LAT_CALLS", "20"))
     for bs in batches:
         pred = Predictor(apply_fn, params, batch_size=bs,
                          param_dtype=param_dtype)
         window = {k: np.repeat(np.asarray(v), N_UTT, axis=0)
                   for k, v in example_tav_batch(spec, 1, 70, 96000).items()}
-        one = {k: v[:bs] for k, v in window.items()}
-        pred(one)                                      # compile
+        # uint8 video twin: what a 4x-lighter client request ships — the
+        # Predictor normalizes on device (serve.py round 5)
+        window_u8 = dict(window)
+        window_u8["video"] = np.clip(
+            (window["video"] * 64 + 128), 0, 255).astype(np.uint8)
+
+        def run_mode(tag, win):
+            one = {k: v[:bs] for k, v in win.items()}
+            pred(one)                                  # compile
+            best = float("inf")
+            for _ in range(BEST_OF):
+                t0 = time.perf_counter()
+                preds, probs = pred(win)
+                dt = time.perf_counter() - t0
+                assert preds.shape == (N_UTT,) and probs.shape == (N_UTT, 7)
+                best = min(best, dt)
+            # request latency: ONE batch-of-bs request at a time (the
+            # Predictor's concurrency model IS synchronous chunking);
+            # p50/p99 include the host->device ingress — through the
+            # remote-tunnel chip of this host that ingress dominates
+            lats = []
+            for _ in range(lat_calls):
+                t0 = time.perf_counter()
+                pred(one)
+                lats.append(time.perf_counter() - t0)
+            p50, p99 = np.percentile(lats, [50, 99])
+            print(f"serve batch={bs:3d} {tag:15s}: "
+                  f"{N_UTT/best:7.1f} utt/s/chip ({best/N_UTT*1e3:7.2f} "
+                  f"ms/utt, request p50 {p50*1e3:.1f} / "
+                  f"p99 {p99*1e3:.1f} ms)", flush=True)
+            results.append({
+                "batch": bs, "mode": tag,
+                "param_dtype": pdt or "float32",
+                "utt_per_sec_per_chip": round(N_UTT / best, 1),
+                "ms_per_utt": round(best / N_UTT * 1e3, 2),
+                "request_p50_ms": round(p50 * 1e3, 1),
+                "request_p99_ms": round(p99 * 1e3, 1),
+                "concurrency_model": "synchronous chunking",
+            })
+
+        run_mode("fp32-ingress", window)
+        run_mode("uint8-ingress", window_u8)
+
+        # device-resident capacity: inputs already on device — the chip's
+        # forward throughput with ingress factored out (what a host-attached
+        # deployment with pipelined transfers approaches)
+        import jax as _jax
+        one_dev = _jax.device_put({k: v[:bs] for k, v in window.items()})
+        fwd = pred._forward
+        var = pred._variables
+        p, pr = fwd(var, one_dev)
+        _ = np.asarray(p)
+        n_calls = max(N_UTT // bs, 1)
         best = float("inf")
         for _ in range(BEST_OF):
             t0 = time.perf_counter()
-            preds, probs = pred(window)
-            dt = time.perf_counter() - t0
-            assert preds.shape == (N_UTT,) and probs.shape == (N_UTT, 7)
-            best = min(best, dt)
-        # request latency: a client submitting ONE batch-of-bs request at a
-        # time (the Predictor's concurrency model IS synchronous chunking —
-        # one jitted forward per chunk, host transfer per chunk); p50/p99
-        # over repeated single-chunk calls, tail includes tunnel contention
-        lats = []
-        for _ in range(int(os.environ.get("SERVE_LAT_CALLS", "30"))):
-            t0 = time.perf_counter()
-            pred(one)
-            lats.append(time.perf_counter() - t0)
-        p50, p99 = np.percentile(lats, [50, 99])
-        print(f"serve batch={bs:3d}"
-              f"{' bf16-weights' if param_dtype else '':14s}: "
-              f"{N_UTT/best:7.1f} utt/s/chip  ({best/N_UTT*1e3:.2f} ms/utt"
-              f", request p50 {p50*1e3:.1f} ms / p99 {p99*1e3:.1f} ms)")
+            for _ in range(n_calls):
+                p, pr = fwd(var, one_dev)
+            _ = np.asarray(p)                  # sync on the tiny preds
+            best = min(best, time.perf_counter() - t0)
+        upsc = n_calls * bs / best
+        print(f"serve batch={bs:3d} {'device-resident':15s}: "
+              f"{upsc:7.1f} utt/s/chip ({best/(n_calls*bs)*1e3:7.2f} "
+              f"ms/utt, compute only)", flush=True)
         results.append({
-            "batch": bs, "param_dtype": pdt or "float32",
-            "utt_per_sec_per_chip": round(N_UTT / best, 1),
-            "ms_per_utt": round(best / N_UTT * 1e3, 2),
-            "request_p50_ms": round(p50 * 1e3, 1),
-            "request_p99_ms": round(p99 * 1e3, 1),
-            "concurrency_model": "synchronous chunking",
+            "batch": bs, "mode": "device-resident-compute",
+            "param_dtype": pdt or "float32",
+            "utt_per_sec_per_chip": round(upsc, 1),
+            "ms_per_utt": round(best / (n_calls * bs) * 1e3, 2),
         })
     out = os.environ.get("SERVE_JSON")
     if out:

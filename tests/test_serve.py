@@ -73,3 +73,33 @@ def test_predict_out_cli_wiring(tmp_path, monkeypatch):
         assert abs(sum(r["probs"]) - 1.0) < 1e-3
         assert "label" in r
     assert np.isfinite(summary["test/loss"])
+
+
+def test_predictor_uint8_video_ingress_matches_fp32():
+    """uint8 video requests normalize ON DEVICE (ImageNet stats, zero pad
+    frames stay exact 0.0 — same math as the training transform) and must
+    predict identically to a client that pre-normalized to fp32. 4x less
+    ingress over the serving link (round 5)."""
+    from mme_tpu.data.records import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.RandomState(3)
+    B, T, S = 5, 2, 4
+    vid_u8 = rng.randint(0, 256, (B, T, S, S, 3)).astype(np.uint8)
+    vid_u8[1, 1] = 0                         # an all-zero pad frame
+    w = rng.randn(T * S * S * 3, 3).astype(np.float32)
+
+    def video_apply(variables, batch, deterministic=True, rngs=None):
+        v = batch["video"].reshape(batch["video"].shape[0], -1)
+        return v @ variables["params"]["w"]
+
+    vf = (vid_u8.astype(np.float32) / 255.0
+          - np.asarray(IMAGENET_MEAN, np.float32)) \
+        / np.asarray(IMAGENET_STD, np.float32)
+    valid = vid_u8.reshape(B, T, -1).max(-1) > 0
+    vf = vf * valid[:, :, None, None, None]
+
+    pred = Predictor(video_apply, {"w": jnp.asarray(w)}, batch_size=4)
+    p_u8, pr_u8 = pred({"video": vid_u8})
+    p_f32, pr_f32 = pred({"video": vf.astype(np.float32)})
+    np.testing.assert_array_equal(p_u8, p_f32)
+    np.testing.assert_allclose(pr_u8, pr_f32, rtol=1e-5, atol=1e-6)
