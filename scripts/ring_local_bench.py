@@ -47,26 +47,42 @@ def flash_hop(q, k, v, kbias):
     return flash_attention(q, k, v, kbias[:, None, None, :])
 
 
+STEPS = 20
+
+
 def timed(fn, args):
-    loss = jax.jit(lambda *a: (fn(*a) ** 2).sum())
-    grad = jax.jit(jax.grad(lambda *a: (fn(*a) ** 2).sum(), argnums=(0, 1, 2)))
-    float(loss(*args))                     # compile + sync
-    jax.block_until_ready(grad(*args))
+    """fwd+bwd chained STEPS times INSIDE one jit (data-dependent carry) —
+    per-dispatch tunnel latency (~25 ms round trip) would otherwise drown
+    the per-hop compute. Returns seconds per fwd+bwd."""
+    q0, k, v, kbias = args
+
+    @jax.jit
+    def run(q):
+        def body(q, _):
+            l, g = jax.value_and_grad(
+                lambda q_, k_, v_: (fn(q_, k_, v_, kbias) ** 2).sum(),
+                argnums=(0, 1, 2))(q, k, v)
+            # fold ALL grads into the carry so none can be DCE'd
+            return q + 1e-6 * (g[0] + g[1] + g[2]), l
+        q, ls = jax.lax.scan(body, q, None, length=STEPS)
+        return ls[-1]
+
+    float(run(q0))                          # compile + sync
     best = float("inf")
     for _ in range(BEST_OF):
         t0 = time.perf_counter()
-        l = loss(*args)
-        g = grad(*args)
-        _ = float(l) + float(jnp.asarray(g[0]).ravel()[0])  # host sync
+        l = run(q0)
+        _ = float(l)                        # host transfer = device sync
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / STEPS
 
 
 def main():
     sp = int(os.environ.get("RING_SP", "8"))
     globals_ = [int(x) for x in os.environ.get(
         "RING_GLOBALS", "3072,6144,12288").split(",")]
-    B, H, D = 1, 12, 64
+    B = int(os.environ.get("RING_B", "1"))
+    H, D = 12, 64
     rng = np.random.RandomState(0)
     print(f"# per-hop local block, sp={sp}, B={B} H={H} D={D}, bf16, "
           f"fwd+bwd best-of-{BEST_OF}")
