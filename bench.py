@@ -260,6 +260,38 @@ def main():
 
     # warmup / compile
     import sys
+    if os.environ.get("BENCH_AUTO_LAYOUT", "0") == "1":
+        # One-pass attack on the profile's copy-done tail (5.3%, 5678
+        # async copies — VERDICT r4 next #9): compile the step with AUTO
+        # input layouts and device_put the state into exactly the layouts
+        # the compiled program wants, so XLA has no per-step relayout
+        # copies to insert for parameters feeding the conv/matmul fusions.
+        from jax.experimental.layout import Format, Layout
+        # AUTO layouts on the state only (in arg 0 / out 0): the scalar
+        # loss/cm/grad-norm outputs must keep default layouts — the tunnel
+        # backend rejects host transfers of AUTO-laid-out scalars
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(Format(Layout.AUTO),) + (None,) * 7,
+            out_shardings=(Format(Layout.AUTO), None, None, None),
+            donate_argnums=(0,))
+        args = (state, batch, labels, mask, cw, one, yes, rng)
+        shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.asarray(x).dtype), args)
+        compiled = train_step.lower(*shapes).compile()
+        fmts = compiled.input_formats[0]
+        def relayout(x, f):
+            if f is None:
+                return x
+            try:
+                return jax.device_put(x, f, donate=True)
+            except TypeError:        # older device_put: no donate kwarg
+                return jax.device_put(x, f)
+        state, batch, labels, mask, cw, one, yes, rng = jax.tree.map(
+            relayout, args, fmts)
+        train_step = compiled   # AOT executable accepts the laid-out args
+        print("# auto input layouts applied", file=sys.stderr, flush=True)
     t_c = time.perf_counter()
     state, loss, _, _ = train_step(state, batch, labels, mask, cw, one, yes, rng)
     loss.block_until_ready()
