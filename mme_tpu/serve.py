@@ -36,16 +36,21 @@ def _pad_rows(arr: np.ndarray, n: int) -> np.ndarray:
 
 
 def _batched_call(forward: Callable, variables: Any,
-                  batch: Dict[str, Any], batch_size: int
+                  batch: Dict[str, Any], batch_size: int,
+                  prepare_chunk: Optional[Callable] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Pad ragged requests up to ``batch_size`` fixed-shape chunks, run
-    ``forward(variables, chunk)`` and mask the padding back out."""
+    ``forward(variables, chunk)`` and mask the padding back out.
+    ``prepare_chunk``: optional chunk transform (e.g. device_put with a
+    dp sharding for mesh serving)."""
     n = len(next(iter(batch.values())))
     preds, probs = [], []
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
         chunk = {k: _pad_rows(np.asarray(v[lo:hi]), batch_size)
                  for k, v in batch.items()}
+        if prepare_chunk is not None:
+            chunk = prepare_chunk(chunk)
         p, pr = forward(variables, chunk)
         preds.append(np.asarray(p)[: hi - lo])
         probs.append(np.asarray(pr)[: hi - lo])
@@ -62,11 +67,26 @@ class Predictor:
 
     def __init__(self, apply_fn: Callable, params: Any,
                  batch_size: int = 8, batch_stats: Any = None,
-                 param_dtype: Any = None):
+                 param_dtype: Any = None, mesh: Any = None,
+                 batch_axis: str = "dp"):
         """``param_dtype=jnp.bfloat16`` stores the weights bf16 on device —
         half the serving HBM (→ bigger batch), matmuls already run bf16
-        under the compute-dtype specs; logits/probabilities stay fp32."""
+        under the compute-dtype specs; logits/probabilities stay fp32.
+
+        ``mesh``: serve across chips — params replicate over the mesh and
+        every fixed-shape chunk shards its batch dim along ``batch_axis``
+        (XLA SPMD splits the forward; each chip computes batch_size/dp
+        rows). Same recipe as training's dp (parallel/mesh.py); batch_size
+        must divide the axis."""
         self.batch_size = int(batch_size)
+        self._mesh = mesh
+        self._chunk_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert self.batch_size % mesh.shape[batch_axis] == 0, (
+                f"batch_size {batch_size} not divisible by "
+                f"{batch_axis}={mesh.shape[batch_axis]}")
+            self._chunk_sharding = NamedSharding(mesh, P(batch_axis))
         if param_dtype is not None:
             cast = lambda x: (x.astype(param_dtype)
                               if hasattr(x, "astype")
@@ -77,7 +97,13 @@ class Predictor:
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        self._variables = jax.device_put(variables)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            self._variables = jax.tree.map(
+                lambda x: jax.device_put(x, rep), variables)
+        else:
+            self._variables = jax.device_put(variables)
 
         def forward(variables, batch):
             v = batch.get("video") if isinstance(batch, dict) else None
@@ -113,8 +139,12 @@ class Predictor:
                  ) -> Tuple[np.ndarray, np.ndarray]:
         """batch: dict of arrays with a common leading dim ≤ batch_size
         (larger inputs are chunked). Returns (preds [N], probs [N, C])."""
+        prepare = None
+        if self._chunk_sharding is not None:
+            prepare = lambda c: jax.tree.map(
+                lambda x: jax.device_put(x, self._chunk_sharding), c)
         return _batched_call(self._forward, self._variables, batch,
-                             self.batch_size)
+                             self.batch_size, prepare)
 
     def predict_dataset(self, dataset, id2label: Optional[Dict[int, str]]
                         = None, batch_transform: Optional[Callable] = None,
