@@ -82,20 +82,11 @@ def main(argv=None):
                   f"({AUDIO_SUPERB})", flush=True)
 
     # length bucketing: one compiled step per bound instead of padding every
-    # utterance to the audio cap (MME_BUCKETS="a,b,c" overrides; "off"
-    # disables). The reference pads per batch dynamically (models/tav.py:228)
-    # — on TPU that would recompile every batch.
-    batch_iter = None
-    buckets_env = _os.environ.get("MME_BUCKETS", "")
-    if buckets_env != "off":
-        from mme_tpu.data.dataset import BucketedBatchIter
-        if buckets_env:
-            bounds = tuple(int(x) for x in buckets_env.split(","))
-        else:
-            bounds = tuple(sorted({max(audio_len // 4, 1000),
-                                   max(audio_len // 2, 1000), audio_len}))
-        batch_iter = BucketedBatchIter(bounds)
-        print(f"length buckets: {bounds}", flush=True)
+    # utterance to the audio cap (shared helper — MME_BUCKETS="a,b,c"
+    # overrides; "off" disables). The reference pads per batch dynamically
+    # (models/tav.py:228) — on TPU that would recompile every batch.
+    from mme_tpu.cli.common import make_bucket_iter
+    batch_iter = make_bucket_iter(audio_len)
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
                           rng_names=("dropout", "spec_augment"),
                           batch_iter=batch_iter, id2label=id2label)

@@ -92,6 +92,31 @@ def print_log(d: Dict[str, float]) -> None:
                       for k, v in d.items()}), flush=True)
 
 
+def make_bucket_iter(audio_len: int, default_on: bool = True):
+    """Shared MME_BUCKETS handling for the audio-bearing CLIs.
+
+    Returns a BucketedBatchIter (one compiled step per length bound) or
+    None. Default bounds are quarters of the audio cap —
+    (len/4, len/2, 3len/4, len), the configuration `bench.py BENCH_DIST`
+    measured at 0.825 padding efficiency — floored at 1000 samples.
+    ``MME_BUCKETS="a,b,c"`` overrides, ``MME_BUCKETS=off`` disables,
+    ``default_on=False`` only engages when MME_BUCKETS is set
+    (fixed-length synthetic runs)."""
+    import os as _os
+
+    env = _os.environ.get("MME_BUCKETS", "")
+    if env == "off" or (not env and not default_on):
+        return None
+    from mme_tpu.data.dataset import BucketedBatchIter
+    if env:
+        bounds = tuple(int(x) for x in env.split(","))
+    else:
+        bounds = tuple(sorted({max(audio_len * i // 4, 1000)
+                               for i in range(1, 4)} | {audio_len}))
+    print(f"length buckets: {bounds}", flush=True)
+    return BucketedBatchIter(bounds)
+
+
 def run_classifier(cfg: ExperimentConfig,
                    apply_fn: Callable,
                    init_params,

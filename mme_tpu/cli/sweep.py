@@ -164,11 +164,19 @@ def main(argv=None):
             argv_trial += ["--dataset", args.dataset]
         # wandb mirror (MME_WANDB=1, utils/profiling.RunLogger): tag each
         # trial as its own named run — the `wandb agent` trial-per-run
-        # convention the reference's sweeps produce
+        # convention the reference's sweeps produce. Restore the caller's
+        # value afterwards (env must not leak past the trial).
+        prev_name = os.environ.get("MME_WANDB_NAME")
         os.environ["MME_WANDB_NAME"] = (
             f"sweep-{args.entry}-t{trial_counter[0]}")
         trial_counter[0] += args.stride
-        summary = entry.main(argv_trial)
+        try:
+            summary = entry.main(argv_trial)
+        finally:
+            if prev_name is None:
+                os.environ.pop("MME_WANDB_NAME", None)
+            else:
+                os.environ["MME_WANDB_NAME"] = prev_name
         # sweep metrics key on val/loss; the entry returns the test summary —
         # map the metric name onto whatever split it carries
         name = cfg.metric_name.replace("val/", "test/")

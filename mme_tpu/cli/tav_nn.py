@@ -196,25 +196,15 @@ def main(argv=None):
         model = model_cls(spec.with_scan_layers())
         params = convert_tree_to_scan(params)
         print("scan-over-layers mode on (MME_SCAN_LAYERS)", flush=True)
-    # length bucketing (same recipe as the audio CLI): one compiled step
-    # per bound instead of padding every utterance to the audio cap —
+    # length bucketing (shared helper with the audio CLI): one compiled
+    # step per bound instead of padding every utterance to the audio cap —
     # MELD utterances are typically 2-4 s under the 6 s cap, so fixed-cap
     # padding wastes audio-tower FLOPs (the reference pads per batch
     # dynamically instead, models/tav.py:228 — a recompile per batch on
-    # TPU). Default ON for pickle (real-data) runs; MME_BUCKETS="a,b,c"
-    # overrides the bounds, MME_BUCKETS=off disables; synthetic runs are
+    # TPU). Default ON for pickle (real-data) runs; synthetic runs are
     # fixed-length so bucketing only engages there when asked for.
-    batch_iter = None
-    buckets_env = _os.environ.get("MME_BUCKETS", "")
-    if buckets_env != "off" and (pkl is not None or buckets_env):
-        from mme_tpu.data.dataset import BucketedBatchIter
-        if buckets_env:
-            bounds = tuple(int(x) for x in buckets_env.split(","))
-        else:
-            bounds = tuple(sorted({max(audio_len // 4, 1000),
-                                   max(audio_len // 2, 1000), audio_len}))
-        batch_iter = BucketedBatchIter(bounds)
-        print(f"length buckets: {bounds}", flush=True)
+    from mme_tpu.cli.common import make_bucket_iter
+    batch_iter = make_bucket_iter(audio_len, default_on=pkl is not None)
     return run_classifier(cfg, apply_fn, params, train_ds, val_ds, test_ds,
                           batch_transform=transform,
                           trainable_mask=modality_embedding_trainable_mask(

@@ -213,7 +213,7 @@ def _ring_flash_local(q, k, v, kbias, *, axis_name: str, interpret: bool):
     return _unpack_heads(out, B, H, D, pack).transpose(0, 2, 1, 3)
 
 
-def _decide_ring_flash(local_seq: int, heads: int, head_dim: int) -> bool:
+def _decide_ring_flash(local_seq: int, head_dim: int) -> bool:
     """Auto-dispatch for the ring local block: flash when the LOCAL
     sequence clears the measured single-chip crossover (ops/attention.py:
     flash wins at S≥448 on v5e with the head-packed merged-bwd kernels)
@@ -252,6 +252,12 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     sequence clears the measured crossover, _decide_ring_flash); True/False
     force. interpret: run the Pallas kernels in interpret mode (CPU tests).
     Returns [B, H, S, D] with the same sequence sharding as the inputs.
+
+    Differentiability caveat: on the FLASH path ``key_bias`` is treated as
+    non-differentiable (its cotangent is zero — the merged backward kernel
+    does not emit per-key score sums); the dense path autodiffs it. Every
+    in-repo caller derives the bias from keep-masks (constants), so this
+    only matters for a LEARNED bias — pass ``use_flash=False`` there.
     """
     assert key_mask is None or key_bias is None, \
         "pass key_mask OR key_bias, not both"
@@ -265,8 +271,7 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         key_bias = key_bias.astype(jnp.float32)
     n_shards = mesh.shape[axis]
     if use_flash is None:
-        use_flash = _decide_ring_flash(q.shape[2] // n_shards, q.shape[1],
-                                       q.shape[-1])
+        use_flash = _decide_ring_flash(q.shape[2] // n_shards, q.shape[-1])
     if use_flash:
         local = functools.partial(_ring_flash_local, axis_name=axis,
                                   interpret=interpret)

@@ -60,10 +60,33 @@ class PredictionService:
     def _to_batch(self, instances) -> Dict[str, np.ndarray]:
         if not instances:
             raise ValueError("empty instances")
-        keys = instances[0].keys()
+        keys = set(instances[0].keys())
+        for i, inst in enumerate(instances):
+            if set(inst.keys()) != keys:
+                raise ValueError(
+                    f"instance {i} keys {sorted(inst.keys())} != "
+                    f"instance 0 keys {sorted(keys)}")
+        from mme_tpu.serve import Predictor
+        live = isinstance(self.predictor, Predictor)
         batch = {}
         for k in keys:
             arr = np.asarray([inst[k] for inst in instances])
+            # JSON has no uint8: integer-valued video in [0, 255] IS the
+            # uint8 request — against a live Predictor it stays raw and
+            # normalizes on device; a StableHLO bundle's artifact is
+            # fixed-dtype fp32-normalized, which raw pixels cannot
+            # satisfy, so there it's a request error, not a silent cast
+            if k == "video" and np.issubdtype(arr.dtype, np.integer):
+                if arr.min() < 0 or arr.max() > 255:
+                    raise ValueError(
+                        "integer video values outside [0, 255]")
+                if live:
+                    arr = arr.astype(np.uint8)
+                else:
+                    raise ValueError(
+                        "this bundle expects ImageNet-normalized float "
+                        "video; integer pixel requests need a live "
+                        "Predictor service (it normalizes on device)")
             if self.feature_spec is not None:
                 spec = self.feature_spec.get(k)
                 if spec is None:
@@ -74,13 +97,8 @@ class PredictionService:
                         f"feature {k!r}: shape {arr.shape[1:]} != "
                         f"expected {want_shape}")
                 want = spec["dtype"]
-                # uint8 video against an fp32 spec stays uint8 when the
-                # live Predictor backs the service (it normalizes on
-                # device); an ExportedPredictor's StableHLO artifact is
-                # fixed-dtype, so there the spec must be honored
-                from mme_tpu.serve import Predictor
                 keep_u8 = (arr.dtype.name == "uint8" and want == "float32"
-                           and isinstance(self.predictor, Predictor))
+                           and live)
                 if not keep_u8:
                     arr = arr.astype(want)
             if arr.dtype.name in _DEFAULT_CASTS:

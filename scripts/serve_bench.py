@@ -100,12 +100,19 @@ def main():
         p, pr = fwd(var, one_dev)
         _ = np.asarray(p)
         n_calls = max(N_UTT // bs, 1)
+        # chain call i+1 on call i's probs (CLAUDE.md tunnel-timing rule:
+        # the sync value must data-depend on the FULL window — an
+        # unchained last-call sync can resolve before earlier dispatches)
+        chain = _jax.jit(lambda b, prr: dict(
+            b, waveform=b["waveform"] + 0.0 * prr.sum()))
         best = float("inf")
         for _ in range(BEST_OF):
+            b_dev = one_dev
             t0 = time.perf_counter()
             for _ in range(n_calls):
-                p, pr = fwd(var, one_dev)
-            _ = np.asarray(p)                  # sync on the tiny preds
+                p, pr = fwd(var, b_dev)
+                b_dev = chain(one_dev, pr)
+            _ = np.asarray(p)                  # depends on every call
             best = min(best, time.perf_counter() - t0)
         upsc = n_calls * bs / best
         print(f"serve batch={bs:3d} {'device-resident':15s}: "

@@ -11,6 +11,7 @@ import sys
 import types
 
 import numpy as np
+import pytest
 
 
 def _stub_wandb(calls):
@@ -75,8 +76,9 @@ def test_disabled_by_default(tmp_path, monkeypatch):
 def test_degrades_without_wandb(tmp_path, monkeypatch, capsys):
     """MME_WANDB=1 with no wandb installed (this image's reality): JSONL
     logging proceeds, a notice is printed, nothing raises."""
-    assert importlib.util.find_spec("wandb") is None, (
-        "wandb unexpectedly installed — this leg tests the absent path")
+    if importlib.util.find_spec("wandb") is not None:
+        pytest.skip("wandb installed — the absent-module path is not "
+                    "reachable in this environment")
     monkeypatch.delitem(sys.modules, "wandb", raising=False)
     monkeypatch.setenv("MME_WANDB", "1")
     from mme_tpu.utils.profiling import RunLogger
