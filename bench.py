@@ -50,7 +50,8 @@ def bench_meld_distribution(jax, jnp, state, train_step, template_batch,
     rs = np.random.RandomState(0)
     secs = np.clip(np.exp(rs.normal(np.log(2.8), 0.55, n_utt)), 0.75, 6.0)
     lengths = np.minimum((secs * 16000).astype(np.int64), audio_len)
-    bounds = [audio_len // 4, audio_len // 2, 3 * audio_len // 4, audio_len]
+    n_buckets = int(os.environ.get("BENCH_BUCKETS_N", "4"))
+    bounds = [audio_len * i // n_buckets for i in range(1, n_buckets + 1)]
     bucket_of = np.searchsorted(bounds, lengths)
 
     wave_full = np.asarray(template_batch["waveform"])
