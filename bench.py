@@ -59,18 +59,26 @@ def bench_meld_distribution(jax, jnp, state, train_step, template_batch,
 
     def make_batches():
         """(batch, n_real) per bucket-grouped batch — the iteration the
-        CLI's BucketedBatchIter drives, with text/video held at bench
-        shapes (length variation is an audio-path property)."""
+        CLI's BucketedBatchIter drives (incl. its tail promotion: each
+        bucket's remainder rides up to the next bound; only the largest
+        bucket wraps a padded tail), with text/video held at bench shapes
+        (length variation is an audio-path property)."""
         out = []
+        carry = np.empty((0,), np.int64)
         for b, bound in enumerate(bounds):
-            idx = np.where(bucket_of == b)[0]
+            idx = np.concatenate([carry, np.where(bucket_of == b)[0]])
+            if b < len(bounds) - 1:
+                keep = len(idx) - len(idx) % batch_size
+                carry = idx[keep:]
+                idx = idx[:keep]
             for s in range(0, len(idx), batch_size):
-                sel = idx[s:s + batch_size]
+                sel = idx[s:s + batch_size].astype(np.int64)
                 n_real = len(sel)
                 if n_real < batch_size:   # wrap the tail to a full batch
                     sel = np.concatenate(
-                        [sel, idx[:batch_size - n_real]]) if len(idx) >= \
-                        batch_size else np.resize(sel, batch_size)
+                        [sel, idx[:batch_size - n_real].astype(np.int64)]
+                    ) if len(idx) >= batch_size else np.resize(
+                        sel, batch_size)
                 lens = lengths[sel]
                 am = (arange[None, :bound] < lens[:, None]).astype(np.int32)
                 wav = wave_full[np.arange(batch_size) % wave_full.shape[0],
@@ -116,8 +124,11 @@ def bench_meld_distribution(jax, jnp, state, train_step, template_batch,
 
     n_chips = max(len(jax.devices()), 1)
     eff = n_real_total / best_dt / n_chips
+    # executed audio samples = each batch's bound × its rows (promotion
+    # runs some rows at a larger bound; wrap rows count as executed)
     pad_bucketed = float(lengths.sum()) / float(
-        sum(bounds[b] for b in bucket_of))
+        sum(b["waveform"].shape[0] * b["waveform"].shape[1]
+            for b, _ in bucket_batches))
     pad_fixed = float(lengths.sum()) / float(n_utt * audio_len)
     print(json.dumps({
         "metric": "MELD utterances/sec/chip (TAV fusion train, "

@@ -81,8 +81,17 @@ class BucketedBatchIter:
         bucket_of = np.searchsorted(self.bucket_bounds,
                                     self._lengths(ds)[order])
         counts = np.bincount(bucket_of, minlength=len(self.bucket_bounds))
-        return int(sum(int(np.ceil(c / batch_size))
-                       for c in counts if c > 0))
+        # mirror bucketed_batches' tail promotion: every bucket but the
+        # last contributes only full batches, its remainder rides up
+        total, carry = 0, 0
+        for b, c in enumerate(counts):
+            rows = int(c) + carry
+            if b < len(counts) - 1:
+                total += rows // batch_size
+                carry = rows % batch_size
+            else:
+                total += int(np.ceil(rows / batch_size))
+        return total
 
     def __call__(self, ds: ArrayDataset, order: np.ndarray, batch_size: int):
         for batch, labels, mask, idx, _bound in bucketed_batches(
@@ -104,14 +113,26 @@ def bucketed_batches(ds: ArrayDataset, order: np.ndarray, batch_size: int,
     short utterances. Buckets give one compiled shape per bound (a handful)
     while cutting padding compute. Yields (batch, labels, sample_mask,
     indices, bound).
+
+    Tail promotion (round 5): every bucket's sub-batch-size remainder is
+    promoted into the NEXT larger bucket instead of padding its own tail
+    batch — a promoted row just runs at a larger (still-valid) bound, so
+    only the largest bucket ever pays a padded tail. At small epoch sizes
+    the per-bucket tails dominated the bucketing win (BASELINE.md
+    bucket-count sweep).
     """
     bounds = sorted(bucket_bounds)
     assert sample_lengths.max() <= bounds[-1], (
         f"max length {sample_lengths.max()} exceeds largest bucket "
         f"{bounds[-1]}")
     bucket_of = np.searchsorted(bounds, sample_lengths[order])
+    carry = np.empty((0,), dtype=order.dtype)
     for b, bound in enumerate(bounds):
-        sel = order[bucket_of == b]
+        sel = np.concatenate([carry, order[bucket_of == b]])
+        if b < len(bounds) - 1:
+            keep = len(sel) - len(sel) % batch_size
+            carry = sel[keep:]
+            sel = sel[:keep]
         if len(sel) == 0:
             continue
         for batch, labels, mask, idx in batches(ds, sel, batch_size):

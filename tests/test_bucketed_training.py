@@ -163,3 +163,22 @@ def test_bucketed_training_composes_with_dp_mesh(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(sum_mesh["test/confusion_matrix"]),
         np.asarray(sum_one["test/confusion_matrix"]))
+
+
+def test_bucket_tail_promotion():
+    """Round 5: every bucket's sub-batch remainder rides up into the next
+    bucket — only the LARGEST bound ever yields a padded tail batch, and
+    promoted rows run at a larger (valid) bound with intact masks."""
+    ds = _audio_ds(37, max_len=64)        # lengths uniform over [8, 64]
+    it = BucketedBatchIter((16, 32, 64))
+    order = np.arange(len(ds))
+    padded_tails = []
+    for batch, labels, mask, idx in it(ds, order, batch_size=4):
+        if np.asarray(mask).sum() < 4:
+            padded_tails.append(batch["waveform"].shape[1])
+        # every real row's true length fits its (possibly promoted) bound
+        real = np.asarray(mask).astype(bool)
+        true_len = np.asarray(ds.features["audio_mask"])[idx].sum(1)
+        assert (true_len[real] <= batch["waveform"].shape[1]).all()
+    # padded tails only at the largest bound (at most one)
+    assert padded_tails in ([], [64])
