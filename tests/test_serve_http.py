@@ -135,3 +135,46 @@ def test_http_concurrent_requests(toy_params):
         assert got == want
     finally:
         server.shutdown()
+
+
+def test_http_integer_video_routes_to_uint8_normalization():
+    """JSON has no uint8 — integer video in [0, 255] over HTTP must reach
+    the live Predictor as uint8 (on-device ImageNet normalization) and
+    match a client that pre-normalized to fp32; out-of-range ints are a
+    400 (code-review r5 fix: they previously cast to int32 silently)."""
+    from mme_tpu.data.records import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.RandomState(9)
+    T, S = 2, 4
+    w = rng.randn(T * S * S * 3, 3).astype(np.float32)
+
+    def video_apply(variables, batch, deterministic=True, rngs=None):
+        v = batch["video"].reshape(batch["video"].shape[0], -1)
+        return v @ variables["params"]["w"]
+
+    pred = Predictor(video_apply, {"w": jnp.asarray(w)}, batch_size=4)
+    server = make_server(PredictionService(pred))
+    try:
+        url = _serve(server)
+        vid = rng.randint(1, 256, (2, T, S, S, 3))
+        out_int = _post(f"{url}/predict", {"instances": [
+            {"video": v.tolist()} for v in vid]})
+        vf = ((vid.astype(np.float32) / 255.0
+               - np.asarray(IMAGENET_MEAN, np.float32))
+              / np.asarray(IMAGENET_STD, np.float32))
+        out_f32 = _post(f"{url}/predict", {"instances": [
+            {"video": v.tolist()} for v in vf]})
+        assert [r["pred"] for r in out_int["predictions"]] == \
+            [r["pred"] for r in out_f32["predictions"]]
+        np.testing.assert_allclose(
+            np.asarray([r["probs"] for r in out_int["predictions"]]),
+            np.asarray([r["probs"] for r in out_f32["predictions"]]),
+            atol=1e-4)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{url}/predict",
+                  {"instances": [{"video": (vid[0] + 300).tolist()}]})
+        assert ei.value.code == 400
+        assert "outside" in json.loads(ei.value.read())["error"]
+    finally:
+        server.shutdown()
