@@ -182,3 +182,24 @@ def test_bucket_tail_promotion():
         assert (true_len[real] <= batch["waveform"].shape[1]).all()
     # padded tails only at the largest bound (at most one)
     assert padded_tails in ([], [64])
+
+
+def test_epoch_len_matches_yield_count_under_promotion():
+    """epoch_len's carry arithmetic must mirror bucketed_batches' tail
+    promotion exactly, for any length distribution — the train loop's
+    end-of-epoch bookkeeping (mid-epoch val/save points) depends on it.
+    Sweeps sizes that exercise every carry edge: all-in-one-bucket,
+    sub-batch totals, empty last bucket, exact multiples."""
+    for seed, n, bs in [(0, 37, 4), (1, 3, 8), (2, 64, 8), (3, 11, 5),
+                        (4, 1, 4), (5, 40, 8)]:
+        ds = _audio_ds(n, max_len=64, seed=seed)
+        it = BucketedBatchIter((16, 32, 64))
+        order = np.arange(n)
+        got = sum(1 for _ in it(ds, order, bs))
+        want = it.epoch_len(ds, order, bs)
+        assert got == want, (seed, n, bs, got, want)
+        # every sample appears exactly once among real (mask=1) rows
+        real_idx = np.concatenate([
+            np.asarray(idx)[np.asarray(m).astype(bool)]
+            for _, _, m, idx in it(ds, order, bs)])
+        np.testing.assert_array_equal(np.sort(real_idx), order)
